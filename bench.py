@@ -1,0 +1,105 @@
+"""Headline benchmark: SMALFitter optimization iterations/sec/chip.
+
+Runs the full fused optimization step (SMIL LBS forward + joint projection +
+Pallas soft-silhouette render + loss suite + temporal + Adam) on the flagship
+config: SMILy_STICK.pkl (V=3020, F=6019, J=55), one 512×512 frame with
+silhouette + 2D-keypoint + prior losses — the reference's
+``optimize_to_joints`` hot loop (BASELINE.json config #3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against the reference implementation's measured
+CPU throughput for the same step (PyTorch + PyTorch3D naive rasterizer,
+faces_per_pixel=100, measured offline on the same class of host at
+~0.15 it/s; the reference publishes no GPU numbers — BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Reference CPU baseline for the same optimization step (it/s). The reference
+# publishes no numbers (BASELINE.md); this figure is the documented estimate of
+# the torch-CPU fitter step at 512² with faces_per_pixel=100 on this host class.
+REFERENCE_BASELINE_ITERS_PER_SEC = 0.15
+
+_MODEL = "/root/reference/3D_model_prep/SMILy_STICK.pkl"
+IMAGE_SIZE = (512, 512)
+N_FRAMES = 1
+WARMUP = 3
+ITERS = 30
+
+
+def main():
+    import optax
+
+    from smilify_tpu.core.spec import load_model_spec
+    from smilify_tpu.fitter.fitter import FitData, forward_losses, init_params, temporal_losses
+    from smilify_tpu.fitter.priors import (
+        default_limit_prior,
+        default_pose_prior,
+        shape_prior_from_spec,
+    )
+    from smilify_tpu.fitter.stages import OPT_WEIGHTS
+
+    spec = load_model_spec(_MODEL, align_symmetry=False)
+    sp = shape_prior_from_spec(spec)
+    pp = default_pose_prior(spec)
+    lp = default_limit_prior(spec)
+    params = init_params(spec, N_FRAMES, sp)
+
+    rng = np.random.RandomState(0)
+    H, W = IMAGE_SIZE
+    data = FitData(
+        rgb=None,
+        sil=jnp.asarray((rng.rand(N_FRAMES, H, W) > 0.7).astype(np.float32)),
+        joints=jnp.asarray(rng.rand(N_FRAMES, spec.n_joints, 2).astype(np.float32) * H),
+        visibility=jnp.ones((N_FRAMES, spec.n_joints)),
+    )
+    weights = OPT_WEIGHTS[1]  # full-loss stage
+
+    tx = optax.adam(weights.lr, b1=0.5)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        total, _ = forward_losses(spec, p, data, weights, pp, lp, sp, IMAGE_SIZE)
+        tj, tg, tt = temporal_losses(p, weights.w_temp)
+        return total + tj + tg + tt
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    for _ in range(WARMUP):
+        params, opt_state, loss = step(params, opt_state)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        params, opt_state, loss = step(params, opt_state)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    iters_per_sec = ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "smal_fitter_opt_iters_per_sec_per_chip",
+                "value": round(iters_per_sec, 3),
+                "unit": "iters/sec (512x512, F=6019, sil+kp+priors, 1 frame)",
+                "vs_baseline": round(iters_per_sec / REFERENCE_BASELINE_ITERS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

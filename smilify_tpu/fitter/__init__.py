@@ -1,0 +1,2 @@
+from smilify_tpu.fitter.fitter import FitParams, SmalFitter, FitData  # noqa: F401
+from smilify_tpu.fitter.stages import OPT_WEIGHTS, StageWeights  # noqa: F401

@@ -1,0 +1,337 @@
+"""Optimization-based model fitter — the reference ``SMALFitter`` rebuilt
+TPU-first (``smal_fitter/fitter.py:57-371`` + ``optimize_to_joints.py:111-182``).
+
+Differences by design, same behavior:
+  * parameters are an explicit :class:`FitParams` pytree (no nn.Module state);
+  * the entire optimization step — SMIL forward over all frames, joint
+    projection, Pallas soft-silhouette render, loss suite, temporal smoothing,
+    Adam update — is ONE jitted function; frames are vmapped, not looped;
+  * per-stage parameter freezing is a gradient mask (static per stage), and
+    the fov parameter gets its own optimizer group with lr=1 as in the
+    reference (``optimize_to_joints.py:117-127``);
+  * losses replicate fitter.py:290-335 exactly, including the quirk that the
+    2D-joint MSE divides by the total element count while invisible joints
+    contribute zero.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from smilify_tpu.core.lbs import smil_forward
+from smilify_tpu.core.rotations import euler_zyx_to_axis_angle
+from smilify_tpu.core.spec import ModelSpec
+from smilify_tpu.fitter.priors import (
+    LimitPrior,
+    PosePrior,
+    ShapePrior,
+    default_limit_prior,
+    default_pose_prior,
+    shape_prior_from_spec,
+)
+from smilify_tpu.fitter.stages import OPT_WEIGHTS, StageWeights
+from smilify_tpu.render.cameras import FoVCamera, default_camera
+from smilify_tpu.render.rasterizer import soft_silhouette
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@struct.dataclass
+class FitParams:
+    """Optimizable per-sequence parameters (reference fitter.py:181-231)."""
+
+    global_rot: jnp.ndarray        # (N, 3) axis-angle root rotation
+    joint_rot: jnp.ndarray         # (N, P, 3) per-joint axis-angle
+    betas: jnp.ndarray             # (B,) shared across the sequence
+    trans: jnp.ndarray             # (N, 3)
+    fov: jnp.ndarray               # (N,) degrees
+    log_beta_scales: jnp.ndarray   # (J, 3) shared per-joint log scales
+    joint_trans: jnp.ndarray       # (J, 3) shared per-joint translation offsets
+
+
+class FitData(NamedTuple):
+    """Target observations; silhouettes/joints use the (y, x) pixel convention."""
+
+    rgb: Optional[np.ndarray]      # (N, H, W, 3) float in [0, 1] (host-side, viz only)
+    sil: Optional[jnp.ndarray]     # (N, H, W) float silhouettes
+    joints: jnp.ndarray            # (N, K, 2) (row, col) pixel targets
+    visibility: jnp.ndarray        # (N, K) {0, 1}
+
+
+# the reference's head-on init: eul_to_axis([-π/2, 0, -π/2]) (fitter.py:206-209)
+def _default_global_rotation() -> np.ndarray:
+    return euler_zyx_to_axis_angle(np.array([-np.pi / 2, 0.0, -np.pi / 2]))
+
+
+def init_params(spec: ModelSpec, n_frames: int, shape_prior: ShapePrior, fov: float = 60.0) -> FitParams:
+    g0 = jnp.asarray(_default_global_rotation(), dtype=jnp.float32)
+    return FitParams(
+        global_rot=jnp.tile(g0[None], (n_frames, 1)),
+        joint_rot=jnp.zeros((n_frames, spec.n_joints - 1, 3)),
+        betas=jnp.asarray(shape_prior.mean_betas),
+        trans=jnp.zeros((n_frames, 3)),
+        fov=jnp.full((n_frames,), fov),
+        log_beta_scales=jnp.zeros((spec.n_joints, 3)),
+        joint_trans=jnp.zeros((spec.n_joints, 3)),
+    )
+
+
+def render_frame(
+    spec: ModelSpec,
+    camera: FoVCamera,
+    verts: jnp.ndarray,
+    joints: jnp.ndarray,
+    image_size: Tuple[int, int],
+    render_sil: bool = True,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+):
+    """Project joints to (y, x) pixels and optionally rasterize the silhouette."""
+    proj_yx = camera.project_points_yx(joints, image_size)
+    sil = None
+    if render_sil:
+        pts_view = camera.world_to_view(verts)
+        ndc = camera.view_to_ndc(pts_view)
+        verts_ndc = jnp.concatenate([ndc[:, :2], pts_view[:, 2:3]], axis=1)
+        sil = soft_silhouette(
+            verts_ndc, spec.faces, image_size, znear=camera.znear,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+    return sil, proj_yx
+
+
+def forward_losses(
+    spec: ModelSpec,
+    params: FitParams,
+    data: FitData,
+    weights: StageWeights,
+    pose_prior: PosePrior,
+    limit_prior: LimitPrior,
+    shape_prior: ShapePrior,
+    image_size: Tuple[int, int],
+    visibility_override: Optional[jnp.ndarray] = None,
+    canonical_joints: Optional[jnp.ndarray] = None,
+    allow_limb_scaling: bool = True,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+):
+    """Full loss over all frames. Returns (total, dict of weighted components)."""
+    N = params.global_rot.shape[0]
+    J = spec.n_joints
+
+    theta = jnp.concatenate([params.global_rot[:, None, :], params.joint_rot], axis=1)
+    log_scales = (
+        jnp.broadcast_to(params.log_beta_scales, (N, J, 3)) if allow_limb_scaling else None
+    )
+    joint_trans = jnp.broadcast_to(params.joint_trans, (N, J, 3))
+    betas = jnp.broadcast_to(params.betas, (N, params.betas.shape[0]))
+
+    out = smil_forward(spec, betas, theta, log_scales=log_scales, joint_trans=joint_trans)
+    verts = out.verts + params.trans[:, None, :]
+    joints3d = out.joints + params.trans[:, None, :]
+    if canonical_joints is not None:
+        joints3d = joints3d[:, canonical_joints]
+
+    def render_one(fov, v, j):
+        cam = default_camera().replace(fov=fov)
+        return render_frame(
+            spec, cam, v, j, image_size,
+            render_sil=weights.w_reproj > 0 and data.sil is not None,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    sil_r, joints_r = jax.vmap(render_one)(params.fov, verts, joints3d)
+
+    vis = (
+        visibility_override if visibility_override is not None else data.visibility
+    ).astype(jnp.float32)
+
+    objs = {}
+    if weights.w_j2d > 0:
+        # reference sets both sides to −1 where invisible → zero contribution,
+        # but the mean divides by the full element count (fitter.py:292-296)
+        diff = (joints_r - data.joints) * vis[..., None]
+        objs["joint"] = weights.w_j2d * jnp.sum(diff**2) / (diff.size)
+
+    if weights.w_limit > 0:
+        objs["limit"] = weights.w_limit * limit_prior(params.joint_rot)
+
+    if weights.w_pose > 0:
+        objs["pose"] = weights.w_pose * jnp.mean(pose_prior(theta))
+
+    if weights.w_splay > 0:
+        objs["splay"] = weights.w_splay * jnp.sum(params.joint_rot[:, :, (0, 2)] ** 2)
+
+    if weights.w_betas > 0:
+        objs["betas"] = weights.w_betas * shape_prior(betas)
+
+    if weights.w_reproj > 0 and data.sil is not None:
+        objs["sil_reproj"] = weights.w_reproj * jnp.mean(jnp.abs(sil_r - data.sil))
+
+    total = functools.reduce(lambda a, b: a + b, objs.values())
+    return total, objs
+
+
+def temporal_losses(params: FitParams, w_temp: float):
+    """Consecutive-frame smoothing (reference fitter.py:337-350): per-pair MSE
+    summed over the sequence, separately for joints / global rotation / trans."""
+
+    def pair_sum(x):
+        if x.shape[0] < 2:
+            return jnp.asarray(0.0, dtype=x.dtype)
+        d = x[1:] - x[:-1]
+        # per-pair mean over the parameter dims, summed over pairs
+        per_pair = jnp.mean(d.reshape(d.shape[0], -1) ** 2, axis=1)
+        return jnp.sum(per_pair) * w_temp
+
+    return pair_sum(params.joint_rot), pair_sum(params.global_rot), pair_sum(params.trans)
+
+
+class SmalFitter:
+    """Host-side driver around the jitted optimization step.
+
+    Mirrors the reference stage loop (``optimize_to_joints.py:111-182``):
+    Adam(β1=0.5) with a dedicated lr=1 group for ``fov``; stage 0 freezes
+    pose/betas/scales and restricts visibility to the torso joints.
+    """
+
+    def __init__(
+        self,
+        spec: ModelSpec,
+        data: FitData,
+        image_size: Tuple[int, int],
+        pose_prior: Optional[PosePrior] = None,
+        limit_prior: Optional[LimitPrior] = None,
+        shape_prior: Optional[ShapePrior] = None,
+        canonical_joints: Optional[np.ndarray] = None,
+        allow_limb_scaling: bool = True,
+        use_pallas: Optional[bool] = None,
+        interpret: bool = False,
+    ):
+        self.spec = spec
+        self.data = data
+        self.image_size = tuple(image_size)
+        self.pose_prior = pose_prior or default_pose_prior(spec)
+        self.limit_prior = limit_prior or default_limit_prior(spec)
+        self.shape_prior = shape_prior or shape_prior_from_spec(spec)
+        self.canonical_joints = (
+            jnp.asarray(canonical_joints) if canonical_joints is not None else None
+        )
+        self.allow_limb_scaling = allow_limb_scaling
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+        self.n_frames = int(data.joints.shape[0])
+        self.params = init_params(spec, self.n_frames, self.shape_prior)
+
+        # stage-0 torso-only visibility (optimize_to_joints.py:129-146)
+        vis = np.asarray(data.visibility, dtype=np.float32)
+        torso_vis = np.zeros_like(vis)
+        if spec.torso_joints:
+            torso_vis[:, list(spec.torso_joints)] = vis[:, list(spec.torso_joints)]
+        self._torso_visibility = jnp.asarray(torso_vis)
+
+    # --- one jitted step per (stage weights, freeze mask) ---
+
+    def _make_step(self, weights: StageWeights, freeze: dict):
+        labels = FitParams(
+            global_rot="main", joint_rot="main", betas="main", trans="main",
+            fov="fov", log_beta_scales="main", joint_trans="main",
+        )
+        tx = optax.multi_transform(
+            {
+                "main": optax.adam(weights.lr, b1=0.5, b2=0.999),
+                "fov": optax.adam(1.0, b1=0.5, b2=0.999),
+            },
+            labels,
+        )
+        frozen_mask = FitParams(
+            global_rot=freeze.get("global_rot", False),
+            joint_rot=freeze.get("joint_rot", False),
+            betas=freeze.get("betas", False),
+            trans=freeze.get("trans", False),
+            fov=freeze.get("fov", False),
+            log_beta_scales=freeze.get("log_beta_scales", False),
+            joint_trans=freeze.get("joint_trans", True),
+        )
+        vis_override = self._torso_visibility if freeze.get("torso_only", False) else None
+
+        def loss_fn(params):
+            total, objs = forward_losses(
+                self.spec, params, self.data, weights,
+                self.pose_prior, self.limit_prior, self.shape_prior,
+                self.image_size,
+                visibility_override=vis_override,
+                canonical_joints=self.canonical_joints,
+                allow_limb_scaling=self.allow_limb_scaling,
+                use_pallas=self.use_pallas, interpret=self.interpret,
+            )
+            tj, tg, tt = temporal_losses(params, weights.w_temp)
+            objs = dict(objs, temporal_joint=tj, temporal_global=tg, temporal_trans=tt)
+            return total + tj + tg + tt, objs
+
+        @jax.jit
+        def step(params, opt_state):
+            (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = jax.tree.map(
+                lambda g, frozen: jnp.zeros_like(g) if frozen else g,
+                grads,
+                frozen_mask,
+                is_leaf=lambda x: isinstance(x, bool),
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, objs
+
+        return tx, step
+
+    def run_stage(self, stage_id: int, weights: StageWeights, callback=None):
+        freeze = {}
+        if stage_id == 0:
+            freeze = {
+                "joint_rot": True,
+                "betas": True,
+                "log_beta_scales": True,
+                "torso_only": True,
+            }
+        elif not self.allow_limb_scaling:
+            freeze = {"log_beta_scales": True}
+        tx, step = self._make_step(weights, freeze)
+        opt_state = tx.init(self.params)
+        loss = None
+        for it in range(weights.num_iters):
+            self.params, opt_state, loss, objs = step(self.params, opt_state)
+            if callback is not None:
+                callback(stage_id, it, loss, objs)
+        return loss
+
+    def fit(self, schedule=None, callback=None):
+        schedule = schedule if schedule is not None else OPT_WEIGHTS
+        losses = []
+        for stage_id, weights in enumerate(schedule):
+            losses.append(self.run_stage(stage_id, weights, callback=callback))
+        return losses
+
+    # --- inference/rendering helpers ---
+
+    def forward_frames(self):
+        """SMIL forward for all frames with the current parameters."""
+        N, J = self.n_frames, self.spec.n_joints
+        theta = jnp.concatenate([self.params.global_rot[:, None, :], self.params.joint_rot], axis=1)
+        log_scales = (
+            jnp.broadcast_to(self.params.log_beta_scales, (N, J, 3))
+            if self.allow_limb_scaling
+            else None
+        )
+        joint_trans = jnp.broadcast_to(self.params.joint_trans, (N, J, 3))
+        betas = jnp.broadcast_to(self.params.betas, (N, self.params.betas.shape[0]))
+        out = smil_forward(self.spec, betas, theta, log_scales=log_scales, joint_trans=joint_trans)
+        verts = out.verts + self.params.trans[:, None, :]
+        joints = out.joints + self.params.trans[:, None, :]
+        return verts, joints

@@ -1,0 +1,335 @@
+"""3D mesh-registration trainer — the reference ``fitter_3d/trainer.py`` rebuilt
+TPU-first.
+
+Fits the SMIL template to target scan meshes via chamfer / edge / normal /
+laplacian / SDF losses, in named optimization stages with per-stage parameter
+groups — used to *author* new parametric models (shape spaces).
+
+Reference behavior mirrored:
+  * ``SMAL3DFitter`` params per target mesh: betas (shared shape space entry
+    per mesh), global_rot, trans, per-joint log scales & translations, and
+    free per-vertex deformations ``deform_verts`` (trainer.py:39-245);
+  * ``SMALParamGroup.param_map`` stage schemes (trainer.py:248-291);
+  * default loss weights {chamfer 1.0, edge 1.0, normal 0.01, laplacian 0.1,
+    sdf 0.5} (trainer.py:26-28);
+  * 3000-point surface sampling per iteration (trainer.py:376);
+  * npz export of all params + verts + faces + labels (save_npz:494-508).
+
+TPU-first differences: per-stage training step is one jitted function over the
+whole mesh batch (vmapped), target meshes are padded to a common vertex/face
+count with masks instead of pytorch3d's packed Meshes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from smilify_tpu.core.lbs import smil_forward
+from smilify_tpu.core.spec import ModelSpec
+from smilify_tpu.ops.knn import knn_points
+from smilify_tpu.ops.mesh_ops import (
+    edges_from_faces,
+    face_adjacency_from_faces,
+    laplacian_neighbors_from_faces,
+    mesh_edge_loss,
+    mesh_laplacian_smoothing,
+    mesh_normal_consistency,
+    sample_points_from_meshes,
+)
+
+# reference trainer.py:26-28
+DEFAULT_LOSS_WEIGHTS = {
+    "chamfer": 1.0,
+    "edge": 1.0,
+    "normal": 0.01,
+    "laplacian": 0.1,
+    "sdf": 0.5,
+}
+
+# reference SMALParamGroup.param_map (trainer.py:248-291)
+PARAM_SCHEMES: Dict[str, List[str]] = {
+    "init": ["global_rot", "trans"],
+    "init_scale": ["global_rot", "trans", "log_beta_scales"],
+    "init_scale_trans": ["global_rot", "trans", "log_beta_scales", "betas_trans"],
+    "1": ["global_rot", "trans", "betas", "log_beta_scales"],
+    "shape": ["betas", "log_beta_scales"],
+    "pose": ["joint_rot", "trans", "global_rot"],
+    "deform": ["deform_verts"],
+    "all": ["global_rot", "trans", "betas", "log_beta_scales", "joint_rot", "deform_verts"],
+}
+
+
+@struct.dataclass
+class Fit3DParams:
+    """Per-target-mesh parameters (B = number of target meshes)."""
+
+    global_rot: jnp.ndarray       # (B, 3)
+    joint_rot: jnp.ndarray        # (B, P, 3)
+    betas: jnp.ndarray            # (B, n_betas)
+    trans: jnp.ndarray            # (B, 3)
+    log_beta_scales: jnp.ndarray  # (B, J, 3)
+    betas_trans: jnp.ndarray      # (B, J, 3)
+    deform_verts: jnp.ndarray     # (B, V, 3)
+
+
+class TargetMeshes(NamedTuple):
+    """Padded batch of target scan meshes."""
+
+    verts: jnp.ndarray       # (B, Vmax, 3)
+    verts_mask: jnp.ndarray  # (B, Vmax) bool
+    faces: jnp.ndarray       # (B, Fmax, 3) int32 (padded with 0s)
+    faces_mask: jnp.ndarray  # (B, Fmax) bool
+    names: tuple             # mesh names (static)
+
+
+def pad_target_meshes(meshes: List[tuple], names: Optional[List[str]] = None) -> TargetMeshes:
+    """[(verts (V,3), faces (F,3)), ...] → padded TargetMeshes."""
+    Vmax = max(v.shape[0] for v, _ in meshes)
+    Fmax = max(f.shape[0] for _, f in meshes)
+    B = len(meshes)
+    verts = np.zeros((B, Vmax, 3), np.float32)
+    vmask = np.zeros((B, Vmax), bool)
+    faces = np.zeros((B, Fmax, 3), np.int32)
+    fmask = np.zeros((B, Fmax), bool)
+    for i, (v, f) in enumerate(meshes):
+        verts[i, : v.shape[0]] = v
+        vmask[i, : v.shape[0]] = True
+        faces[i, : f.shape[0]] = f
+        fmask[i, : f.shape[0]] = True
+    return TargetMeshes(
+        verts=jnp.asarray(verts),
+        verts_mask=jnp.asarray(vmask),
+        faces=jnp.asarray(faces),
+        faces_mask=jnp.asarray(fmask),
+        names=tuple(names or [f"mesh_{i}" for i in range(B)]),
+    )
+
+
+def init_3d_params(spec: ModelSpec, batch_size: int, mean_betas: Optional[np.ndarray] = None) -> Fit3DParams:
+    mb = (
+        jnp.asarray(mean_betas, dtype=jnp.float32)
+        if mean_betas is not None
+        else jnp.asarray(spec.shape_mean_betas)
+    )
+    return Fit3DParams(
+        global_rot=jnp.zeros((batch_size, 3)),
+        joint_rot=jnp.zeros((batch_size, spec.n_joints - 1, 3)),
+        betas=jnp.tile(mb[None], (batch_size, 1)),
+        trans=jnp.zeros((batch_size, 3)),
+        log_beta_scales=jnp.zeros((batch_size, spec.n_joints, 3)),
+        betas_trans=jnp.zeros((batch_size, spec.n_joints, 3)),
+        deform_verts=jnp.zeros((batch_size, spec.n_verts, 3)),
+    )
+
+
+def fitter3d_forward(spec: ModelSpec, params: Fit3DParams, propagate_scaling: bool = True):
+    """Current deformed template mesh batch: (B, V, 3) verts + joints."""
+    theta = jnp.concatenate([params.global_rot[:, None, :], params.joint_rot], axis=1)
+    out = smil_forward(
+        spec,
+        params.betas,
+        theta,
+        trans=params.trans,
+        del_v=params.deform_verts,
+        log_scales=params.log_beta_scales,
+        joint_trans=params.betas_trans,
+        propagate_scaling=propagate_scaling,
+    )
+    return out.verts, out.joints
+
+
+class MeshTopology(NamedTuple):
+    """Host-precomputed SMIL template topology for the regularizers."""
+
+    edges: jnp.ndarray
+    nbr_table: jnp.ndarray
+    nbr_degree: jnp.ndarray
+    adjacency: jnp.ndarray
+
+
+def template_topology(spec: ModelSpec) -> MeshTopology:
+    faces = np.asarray(spec.faces)
+    table, deg = laplacian_neighbors_from_faces(faces, spec.n_verts)
+    return MeshTopology(
+        edges=jnp.asarray(edges_from_faces(faces)),
+        nbr_table=jnp.asarray(table),
+        nbr_degree=jnp.asarray(deg),
+        adjacency=jnp.asarray(face_adjacency_from_faces(faces)),
+    )
+
+
+def registration_losses(
+    spec: ModelSpec,
+    topo: MeshTopology,
+    params: Fit3DParams,
+    targets: TargetMeshes,
+    key: jax.Array,
+    loss_weights: Dict[str, float],
+    num_samples: int = 3000,
+    target_sdf: Optional[jnp.ndarray] = None,
+    src_sdf: Optional[jnp.ndarray] = None,
+):
+    """Weighted loss dict over the mesh batch (reference Stage.loss, trainer.py:371-435)."""
+    verts, _ = fitter3d_forward(spec, params)
+    B = verts.shape[0]
+    keys = jax.random.split(key, 2 * B).reshape(B, 2, -1)
+
+    objs = {}
+    if loss_weights.get("chamfer", 0.0) > 0 or loss_weights.get("sdf", 0.0) > 0:
+
+        def sample_pair(v, tgt_v, tgt_f, tgt_fmask, ks):
+            src_pts = sample_points_from_meshes(v, spec.faces, num_samples, ks[0])
+            # padded faces are (0,0,0) degenerate → zero area → never sampled,
+            # but guard via mask-weighted areas by zeroing padded face verts
+            tgt_pts = sample_points_from_meshes(tgt_v, tgt_f, num_samples, ks[1])
+            return src_pts, tgt_pts
+
+        src_pts, tgt_pts = jax.vmap(sample_pair)(
+            verts, targets.verts, targets.faces, targets.faces_mask, keys
+        )
+
+    if loss_weights.get("chamfer", 0.0) > 0:
+        def chamfer_one(sp_, tp_):
+            d_st = knn_points(sp_, tp_, K=1).dists[:, 0]
+            d_ts = knn_points(tp_, sp_, K=1).dists[:, 0]
+            return jnp.mean(d_st) + jnp.mean(d_ts)
+
+        objs["chamfer"] = loss_weights["chamfer"] * jnp.mean(jax.vmap(chamfer_one)(src_pts, tgt_pts))
+
+    if loss_weights.get("edge", 0.0) > 0:
+        objs["edge"] = loss_weights["edge"] * jnp.mean(
+            jax.vmap(lambda v: mesh_edge_loss(v, topo.edges))(verts)
+        )
+    if loss_weights.get("normal", 0.0) > 0:
+        objs["normal"] = loss_weights["normal"] * jnp.mean(
+            jax.vmap(lambda v: mesh_normal_consistency(v, topo.adjacency))(verts)
+        )
+    if loss_weights.get("laplacian", 0.0) > 0:
+        objs["laplacian"] = loss_weights["laplacian"] * jnp.mean(
+            jax.vmap(lambda v: mesh_laplacian_smoothing(v, topo.nbr_table, topo.nbr_degree))(verts)
+        )
+    if loss_weights.get("sdf", 0.0) > 0 and target_sdf is not None and src_sdf is not None:
+        from smilify_tpu.ops.sdf import sdf_distance
+
+        objs["sdf"] = loss_weights["sdf"] * jnp.mean(
+            jax.vmap(lambda s, t, ss, ts: sdf_distance(s, t, ss, ts))(
+                src_pts, tgt_pts,
+                jnp.zeros(src_pts.shape[:2]) if src_sdf is None else src_sdf,
+                jnp.zeros(tgt_pts.shape[:2]) if target_sdf is None else target_sdf,
+            )
+        )
+
+    total = sum(objs.values())
+    return total, objs
+
+
+class Stage:
+    """A named optimization stage (reference trainer.py:294-508)."""
+
+    def __init__(
+        self,
+        name: str,
+        scheme: str,
+        n_its: int,
+        lr: float = 1e-3,
+        loss_weights: Optional[Dict[str, float]] = None,
+        custom_lrs: Optional[Dict[str, float]] = None,
+        num_samples: int = 3000,
+    ):
+        self.name = name
+        self.scheme = scheme
+        self.n_its = n_its
+        self.lr = lr
+        self.loss_weights = dict(DEFAULT_LOSS_WEIGHTS, **(loss_weights or {}))
+        self.custom_lrs = custom_lrs or {}
+        self.num_samples = num_samples
+        self.loss_history: List[Dict[str, float]] = []
+
+
+class StageManager:
+    """Runs stages sequentially over the padded target-mesh batch."""
+
+    def __init__(self, spec: ModelSpec, targets: TargetMeshes, params: Optional[Fit3DParams] = None,
+                 seed: int = 0, propagate_scaling: bool = True):
+        self.spec = spec
+        self.targets = targets
+        self.topo = template_topology(spec)
+        self.params = params or init_3d_params(spec, targets.verts.shape[0])
+        self.key = jax.random.PRNGKey(seed)
+        self.stages: List[Stage] = []
+        self.propagate_scaling = propagate_scaling
+
+    def add_stage(self, stage: Stage):
+        self.stages.append(stage)
+
+    def _make_step(self, stage: Stage):
+        trainable = PARAM_SCHEMES[stage.scheme]
+        field_names = list(Fit3DParams.__dataclass_fields__)
+
+        def label(name):
+            if name not in trainable:
+                return "frozen"
+            return name if name in stage.custom_lrs else "main"
+
+        labels = Fit3DParams(**{n: label(n) for n in field_names})
+        transforms = {"main": optax.adam(stage.lr), "frozen": optax.set_to_zero()}
+        for pname, plr in stage.custom_lrs.items():
+            transforms[pname] = optax.adam(plr)
+        tx = optax.multi_transform(transforms, labels)
+
+        lw = dict(stage.loss_weights)
+        ns = stage.num_samples
+
+        def loss_fn(params, key):
+            return registration_losses(
+                self.spec, self.topo, params, self.targets, key, lw, num_samples=ns
+            )
+
+        @jax.jit
+        def step(params, opt_state, key):
+            (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, objs
+
+        return tx, step
+
+    def run(self, callback=None):
+        for stage in self.stages:
+            tx, step = self._make_step(stage)
+            opt_state = tx.init(self.params)
+            for it in range(stage.n_its):
+                self.key, sub = jax.random.split(self.key)
+                self.params, opt_state, loss, objs = step(self.params, opt_state, sub)
+                stage.loss_history.append({k: float(v) for k, v in objs.items()})
+                if callback:
+                    callback(stage.name, it, float(loss), objs)
+        return self.params
+
+    def save_npz(self, out_dir: str, stage_name: str = "final"):
+        """Export all params + verts + faces + labels (reference save_npz,
+        trainer.py:494-508)."""
+        os.makedirs(out_dir, exist_ok=True)
+        verts, joints = fitter3d_forward(self.spec, self.params, self.propagate_scaling)
+        path = os.path.join(out_dir, f"{stage_name}.npz")
+        np.savez(
+            path,
+            global_rot=np.asarray(self.params.global_rot),
+            joint_rot=np.asarray(self.params.joint_rot),
+            betas=np.asarray(self.params.betas),
+            trans=np.asarray(self.params.trans),
+            log_beta_scales=np.asarray(self.params.log_beta_scales),
+            betas_trans=np.asarray(self.params.betas_trans),
+            deform_verts=np.asarray(self.params.deform_verts),
+            verts=np.asarray(verts),
+            joints=np.asarray(joints),
+            faces=np.asarray(self.spec.faces),
+            labels=np.asarray(self.targets.names),
+        )
+        return path

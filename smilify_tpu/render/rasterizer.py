@@ -1,0 +1,353 @@
+"""Pallas TPU soft-silhouette rasterizer with custom VJP.
+
+Replaces PyTorch3D's CUDA MeshRasterizer + SoftSilhouetteShader
+(reference ``smal_fitter/p3d_renderer.py:41-52``). Same aggregation semantics
+as :mod:`rasterizer_ref` (exact log-space SoftRas product over all faces):
+
+    S(p)  = Σ_f softplus(−d_f(p) / σ)          (streaming reduction)
+    alpha = 1 − exp(−S)
+
+Design (TPU-first — no scalar loops, no dynamic indexing):
+  * the image is split into pixel tiles of 8×128, flattened to 1024 lanes;
+  * faces are packed into chunks of 128 with attributes last — inside the
+    kernel a chunk is processed as 16 statically-unrolled sub-groups of
+    **8 faces on sublanes × 1024 pixels on lanes**, so every op is a full
+    (8, 1024) VPU vector op;
+  * the forward grid is (pixel_tiles, face_chunks) with chunks innermost,
+    accumulating S into the revisited output tile;
+  * a host-precomputed (tiles × chunks) **coarse cull mask** (chunk bbox vs
+    tile bbox + blur margin, delivered via scalar prefetch) skips
+    non-overlapping programs — the TPU analogue of PyTorch3D's binned
+    rasterization;
+  * the backward kernel transposes the grid (chunks outer, tiles inner) and
+    accumulates per-vertex distance gradients (envelope theorem at the
+    optimal edge parameter), reduced over lanes.
+
+The public entry :func:`soft_silhouette` takes NDC vertices + faces, is
+differentiable wrt vertices, and falls back to the pure-JAX oracle on
+non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smilify_tpu.render.rasterizer_ref import SIGMA, soft_silhouette_ref
+
+TILE_H = 8
+TILE_W = 128
+TILE_PIX = TILE_H * TILE_W        # 1024 lanes per pixel tile
+FACE_CHUNK = 128
+FACE_GROUP = 8                    # faces per sublane group
+N_GROUPS = FACE_CHUNK // FACE_GROUP
+# softplus(-d/σ) < 4e-9 once d > 20σ — faces farther than this can't contribute
+CULL_MARGIN_SQ_SIGMAS = 20.0
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# shared in-kernel math (broadcasts (8,1) face attrs against (1,1024) pixels)
+# ---------------------------------------------------------------------------
+
+
+def _point_segment_sq_t(px, py, ax, ay, bx, by):
+    ex, ey = bx - ax, by - ay
+    dx, dy = px - ax, py - ay
+    seg = ex * ex + ey * ey
+    t = (dx * ex + dy * ey) / jnp.maximum(seg, 1e-12)
+    t = jnp.clip(t, 0.0, 1.0)
+    rx = dx - t * ex
+    ry = dy - t * ey
+    return rx * rx + ry * ry, t, rx, ry
+
+
+def _signed_distance(px, py, ax, ay, bx, by, cx, cy):
+    d1, t1, r1x, r1y = _point_segment_sq_t(px, py, ax, ay, bx, by)
+    d2, t2, r2x, r2y = _point_segment_sq_t(px, py, bx, by, cx, cy)
+    d3, t3, r3x, r3y = _point_segment_sq_t(px, py, cx, cy, ax, ay)
+    dmin = jnp.minimum(jnp.minimum(d1, d2), d3)
+
+    c0 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    c1 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+    c2 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+    inside = ((c0 >= 0) & (c1 >= 0) & (c2 >= 0)) | ((c0 <= 0) & (c1 <= 0) & (c2 <= 0))
+    sign = jnp.where(inside, -1.0, 1.0)
+    return sign * dmin, (d1, t1, r1x, r1y, d2, t2, r2x, r2y, d3, t3, r3x, r3y, dmin, sign)
+
+
+def _pixel_coords(t, n_tx, H, W, dtype):
+    """NDC coords of the flattened (1, TILE_PIX) pixel tile with linear id t."""
+    s = float(min(H, W))
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
+    ti = t // n_tx
+    tj = t % n_tx
+    rows = ti * TILE_H + q // TILE_W
+    cols = tj * TILE_W + q % TILE_W
+    y = -(rows.astype(dtype) * 2.0 + 1.0 - H) / s
+    x = -(cols.astype(dtype) * 2.0 + 1.0 - W) / s
+    return x, y
+
+
+def _face_group(face_ref, g):
+    """8 consecutive faces' attributes as (8, 1) columns."""
+    fa = face_ref[0, g * FACE_GROUP:(g + 1) * FACE_GROUP, :]  # (8, 8)
+    return (
+        fa[:, 0:1], fa[:, 1:2], fa[:, 2:3], fa[:, 3:4],
+        fa[:, 4:5], fa[:, 5:6], fa[:, 6:7],
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(mask_ref, face_ref, S_ref, *, H, W, n_tx, n_chunks, inv_sigma):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        S_ref[:] = jnp.zeros_like(S_ref)
+
+    @pl.when(mask_ref[t * n_chunks + c] > 0)
+    def _():
+        px, py = _pixel_coords(t, n_tx, H, W, S_ref.dtype)
+        acc = jnp.zeros((1, TILE_PIX), dtype=S_ref.dtype)
+        for g in range(N_GROUPS):
+            ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, g)
+            d, _ = _signed_distance(px, py, ax, ay, bx, by, cx, cy)  # (8, TILE_PIX)
+            contrib = valid * jax.nn.softplus(-d * inv_sigma)
+            acc = acc + jnp.sum(contrib, axis=0, keepdims=True)
+        S_ref[:] += acc[None]
+
+
+def _fwd_pallas(face_data, tile_mask_flat, H, W, sigma, interpret=False):
+    n_chunks = face_data.shape[0]
+    n_ty, n_tx = _cdiv(H, TILE_H), _cdiv(W, TILE_W)
+    n_tiles = n_ty * n_tx
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, FACE_CHUNK, 8), lambda t, c, m: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TILE_PIX), lambda t, c, m: (t, 0, 0), memory_space=pltpu.VMEM),
+    )
+    S_tiles = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, H=H, W=W, n_tx=n_tx, n_chunks=n_chunks, inv_sigma=1.0 / sigma
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, TILE_PIX), face_data.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=n_tiles * n_chunks * FACE_CHUNK * TILE_PIX * 2,
+            bytes_accessed=n_tiles * TILE_PIX * 4 + n_chunks * FACE_CHUNK * 8 * 4,
+            transcendentals=n_tiles * n_chunks * FACE_CHUNK * TILE_PIX // 8,
+        ),
+        interpret=interpret,
+    )(tile_mask_flat, face_data)
+    S = S_tiles.reshape(n_ty, n_tx, TILE_H, TILE_W).transpose(0, 2, 1, 3).reshape(
+        n_ty * TILE_H, n_tx * TILE_W
+    )
+    return S[:H, :W]
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(mask_ref, face_ref, g_ref, dface_ref, *, H, W, n_tx, n_chunks, inv_sigma):
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dface_ref[:] = jnp.zeros_like(dface_ref)
+
+    @pl.when(mask_ref[t * n_chunks + c] > 0)
+    def _():
+        px, py = _pixel_coords(t, n_tx, H, W, g_ref.dtype)
+        G = g_ref[0]  # (1, TILE_PIX)
+
+        for g in range(N_GROUPS):
+            ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, g)
+            d, aux = _signed_distance(px, py, ax, ay, bx, by, cx, cy)
+            (d1, t1, r1x, r1y, d2, t2, r2x, r2y, d3, t3, r3x, r3y, dmin, sign) = aux
+
+            # dS/d(d_signed) = −sigmoid(−d/σ)/σ; chain with sign for dmin
+            w = G * valid * jax.nn.sigmoid(-d * inv_sigma) * (-inv_sigma) * sign
+
+            e1 = jnp.logical_and(d1 <= d2, d1 <= d3)
+            e2 = jnp.logical_and(~e1, d2 <= d3)
+            e3 = jnp.logical_and(~e1, ~e2)
+            f1 = jnp.where(e1, w, 0.0)
+            f2 = jnp.where(e2, w, 0.0)
+            f3 = jnp.where(e3, w, 0.0)
+
+            # point-segment grads at optimal t (envelope): residual r = p−u−t(v−u)
+            # ∂d/∂u = −2(1−t)r ; ∂d/∂v = −2t·r — reduce over the 1024 pixels
+            def rsum(x):
+                return jnp.sum(x, axis=1, keepdims=True)  # (8, 1)
+
+            gax = rsum(f1 * (-2.0) * (1.0 - t1) * r1x + f3 * (-2.0) * t3 * r3x)
+            gay = rsum(f1 * (-2.0) * (1.0 - t1) * r1y + f3 * (-2.0) * t3 * r3y)
+            gbx = rsum(f1 * (-2.0) * t1 * r1x + f2 * (-2.0) * (1.0 - t2) * r2x)
+            gby = rsum(f1 * (-2.0) * t1 * r1y + f2 * (-2.0) * (1.0 - t2) * r2y)
+            gcx = rsum(f2 * (-2.0) * t2 * r2x + f3 * (-2.0) * (1.0 - t3) * r3x)
+            gcy = rsum(f2 * (-2.0) * t2 * r2y + f3 * (-2.0) * (1.0 - t3) * r3y)
+            grad8 = jnp.concatenate(
+                [gax, gay, gbx, gby, gcx, gcy, jnp.zeros_like(gax), jnp.zeros_like(gax)], axis=1
+            )  # (8, 8) — attrs in columns, zero for valid/pad slots
+            dface_ref[0, g * FACE_GROUP:(g + 1) * FACE_GROUP, :] += grad8
+
+
+def _bwd_pallas(face_data, tile_mask_flat, gS, H, W, sigma, interpret=False):
+    n_chunks = face_data.shape[0]
+    n_ty, n_tx = _cdiv(H, TILE_H), _cdiv(W, TILE_W)
+    n_tiles = n_ty * n_tx
+    Hp, Wp = n_ty * TILE_H, n_tx * TILE_W
+    gS_pad = jnp.zeros((Hp, Wp), gS.dtype).at[:H, :W].set(gS)
+    gS_tiles = gS_pad.reshape(n_ty, TILE_H, n_tx, TILE_W).transpose(0, 2, 1, 3).reshape(
+        n_tiles, 1, TILE_PIX
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, FACE_CHUNK, 8), lambda c, t, m: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_PIX), lambda c, t, m: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, FACE_CHUNK, 8), lambda c, t, m: (c, 0, 0), memory_space=pltpu.VMEM),
+    )
+    dface = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, H=H, W=W, n_tx=n_tx, n_chunks=n_chunks, inv_sigma=1.0 / sigma
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(face_data.shape, face_data.dtype),
+        interpret=interpret,
+    )(tile_mask_flat, face_data, gS_tiles)
+    return dface
+
+
+# ---------------------------------------------------------------------------
+# packing + cull mask (plain JAX)
+# ---------------------------------------------------------------------------
+
+
+def _pack_faces(tri_xy: jnp.ndarray, valid: jnp.ndarray):
+    """(F, 3, 2) triangles + (F,) validity → (C, FACE_CHUNK, 8) attr-last chunks."""
+    F = tri_xy.shape[0]
+    pad = (-F) % FACE_CHUNK
+    flat = jnp.concatenate(
+        [tri_xy.reshape(F, 6), valid.astype(tri_xy.dtype)[:, None], jnp.zeros((F, 1), tri_xy.dtype)],
+        axis=1,
+    )  # (F, 8)
+    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    return flat.reshape(-1, FACE_CHUNK, 8)
+
+
+def _tile_cull_mask(tri_xy, valid, H, W, sigma):
+    """(n_tiles · n_chunks,) int32 flat mask: does chunk c touch tile t?"""
+    F = tri_xy.shape[0]
+    pad = (-F) % FACE_CHUNK
+    big = jnp.asarray(1e9, tri_xy.dtype)
+    x = tri_xy[..., 0]
+    y = tri_xy[..., 1]
+    xmin = jnp.where(valid, x.min(axis=1), big)
+    xmax = jnp.where(valid, x.max(axis=1), -big)
+    ymin = jnp.where(valid, y.min(axis=1), big)
+    ymax = jnp.where(valid, y.max(axis=1), -big)
+
+    def chunk_min(v):
+        return jnp.pad(v, (0, pad), constant_values=1e9).reshape(-1, FACE_CHUNK).min(axis=1)
+
+    def chunk_max(v):
+        return jnp.pad(v, (0, pad), constant_values=-1e9).reshape(-1, FACE_CHUNK).max(axis=1)
+
+    cxmin, cxmax = chunk_min(xmin), chunk_max(xmax)
+    cymin, cymax = chunk_min(ymin), chunk_max(ymax)
+
+    margin = math.sqrt(CULL_MARGIN_SQ_SIGMAS * sigma)
+    s = float(min(H, W))
+    n_ty, n_tx = _cdiv(H, TILE_H), _cdiv(W, TILE_W)
+    i = jnp.arange(n_ty, dtype=tri_xy.dtype)
+    j = jnp.arange(n_tx, dtype=tri_xy.dtype)
+    # NDC y decreases with pixel row, x decreases with pixel col
+    tile_ymax = -(i * TILE_H * 2.0 + 1.0 - H) / s
+    tile_ymin = -(((i + 1) * TILE_H - 1) * 2.0 + 1.0 - H) / s
+    tile_xmax = -(j * TILE_W * 2.0 + 1.0 - W) / s
+    tile_xmin = -(((j + 1) * TILE_W - 1) * 2.0 + 1.0 - W) / s
+
+    oy = (cymin[None, :] <= tile_ymax[:, None] + margin) & (cymax[None, :] >= tile_ymin[:, None] - margin)
+    ox = (cxmin[None, :] <= tile_xmax[:, None] + margin) & (cxmax[None, :] >= tile_xmin[:, None] - margin)
+    mask = oy[:, None, :] & ox[None, :, :]  # (n_ty, n_tx, C)
+    return mask.reshape(n_ty * n_tx, -1).reshape(-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _raster_S(tri_xy, valid, image_size, sigma, interpret=False):
+    H, W = image_size
+    face_data = _pack_faces(tri_xy, valid)
+    mask = _tile_cull_mask(tri_xy, valid, H, W, sigma)
+    return _fwd_pallas(face_data, mask, H, W, sigma, interpret=interpret)
+
+
+def _raster_S_fwd(tri_xy, valid, image_size, sigma, interpret=False):
+    S = _raster_S(tri_xy, valid, image_size, sigma, interpret)
+    return S, (tri_xy, valid)
+
+
+def _raster_S_bwd(image_size, sigma, interpret, res, gS):
+    tri_xy, valid = res
+    H, W = image_size
+    F = tri_xy.shape[0]
+    face_data = _pack_faces(tri_xy, valid)
+    mask = _tile_cull_mask(tri_xy, valid, H, W, sigma)
+    dface = _bwd_pallas(face_data, mask, gS, H, W, sigma, interpret=interpret)  # (C, FACE_CHUNK, 8)
+    dflat = dface.reshape(-1, 8)[:F, :6]
+    return dflat.reshape(F, 3, 2), None
+
+
+_raster_S.defvjp(_raster_S_fwd, _raster_S_bwd)
+
+
+def soft_silhouette(
+    verts_ndc: jnp.ndarray,
+    faces: jnp.ndarray,
+    image_size,
+    sigma: float = SIGMA,
+    znear: float = 0.0,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Soft silhouette from NDC vertices; (H, W) alpha in [0, 1].
+
+    ``use_pallas=None`` auto-selects: Pallas kernel on TPU, pure-JAX oracle
+    elsewhere. Differentiable wrt ``verts_ndc`` either way.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return soft_silhouette_ref(verts_ndc, faces, image_size, sigma=sigma, znear=znear)
+
+    tri = verts_ndc[faces]  # (F, 3, 3)
+    valid = jnp.any(tri[..., 2] > znear, axis=-1)
+    S = _raster_S(tri[..., :2], valid, tuple(image_size), sigma, interpret)
+    return 1.0 - jnp.exp(-S)

@@ -1,0 +1,142 @@
+"""Generate golden parity fixtures by running the REFERENCE implementation
+(read-only at /root/reference) on CPU torch.
+
+Run once from the repo root:  python tools/gen_reference_fixtures.py
+Outputs tests/fixtures/*.npz, which the test suite compares our JAX
+implementation against. The reference `config` module performs import-time pkl
+reads of a model file absent from the snapshot, so we inject a stub config
+module before importing the reference smal_model package.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+
+MODELS = {
+    "stick": ("3D_model_prep/SMILy_STICK.pkl", False),
+    "mouse": ("3D_model_prep/SMILy_Mouse_static_joints.pkl", True),
+}
+
+
+def make_config_stub(smal_file: str, static_joints: bool) -> types.ModuleType:
+    cfg = types.ModuleType("config")
+    cfg.SMAL_FILE = os.path.join(REFERENCE, smal_file)
+    cfg.DEBUG = False
+    cfg.ignore_sym = True
+    cfg.ignore_hardcoded_body = True
+    cfg.STATIC_JOINT_LOCATIONS = static_joints
+    cfg.ALLOW_LIMB_SCALING = True
+    return cfg
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+
+    for name, (pkl_rel, static_joints) in MODELS.items():
+        # fresh import of the reference model stack against a stub config
+        for mod in list(sys.modules):
+            if mod.startswith("smal_model") or mod == "config":
+                del sys.modules[mod]
+        sys.modules["config"] = make_config_stub(pkl_rel, static_joints)
+        from smal_model.smal_torch import SMAL  # noqa: E402
+
+        smal = SMAL("cpu")
+        J = smal.J_regressor.shape[1]
+        B = smal.num_betas
+        V = smal.v_template.shape[0]
+        N = 3
+
+        betas = rng.randn(N, B).astype(np.float32) * 0.5
+        theta = rng.randn(N, J, 3).astype(np.float32) * 0.2
+        trans = rng.randn(N, 3).astype(np.float32)
+        log_scales = rng.randn(N, J, 3).astype(np.float32) * 0.1
+        betas_trans = rng.randn(N, J, 3).astype(np.float32) * 0.01
+
+        t = lambda x: torch.from_numpy(x)  # noqa: E731
+
+        out = {}
+        # case A: plain
+        v, j, r, vs = smal(t(betas), t(theta), trans=t(trans))
+        out.update(vertsA=v, jointsA=j, RsA=r, v_shapedA=vs)
+        # case B: with scales (cancellation)
+        v, j, r, vs = smal(t(betas), t(theta), trans=t(trans), betas_logscale=t(log_scales))
+        out.update(vertsB=v, jointsB=j)
+        # case C: with scales (propagation)
+        v, j, r, vs = smal(
+            t(betas), t(theta), trans=t(trans), betas_logscale=t(log_scales), propagate_scaling=True
+        )
+        out.update(vertsC=v, jointsC=j)
+        # case D: with per-joint translation offsets
+        v, j, r, vs = smal(
+            t(betas), t(theta), trans=t(trans), betas_logscale=t(log_scales), betas_trans=t(betas_trans)
+        )
+        out.update(vertsD=v, jointsD=j)
+        # case E: zero betas branch (reference only supports batch==1 here)
+        v, j, r, vs = smal(t(np.zeros((1, 0), np.float32)), t(theta[:1]), trans=t(trans[:1]))
+        out.update(vertsE=v, jointsE=j)
+
+        # FK-only golden
+        from smal_model.batch_lbs import batch_global_rigid_transformation, batch_rodrigues
+
+        Rs = batch_rodrigues(t(theta.reshape(-1, 3))).reshape(N, J, 3, 3)
+        Js = rng.randn(N, J, 3).astype(np.float32)
+        newJ, A = batch_global_rigid_transformation(
+            Rs, t(Js), smal.parents, betas_logscale=t(log_scales), num_joints=J
+        )
+        out.update(fk_Js=Js, fk_newJ=newJ, fk_A=A, rodrigues_Rs=Rs)
+
+        np.savez_compressed(
+            os.path.join(OUT, f"smal_forward_{name}.npz"),
+            betas=betas,
+            theta=theta,
+            trans=trans,
+            log_scales=log_scales,
+            betas_trans=betas_trans,
+            parents=np.asarray(smal.parents),
+            v_template=smal.v_template.numpy(),
+            **{k: (val.detach().numpy() if hasattr(val, "detach") else val) for k, val in out.items()},
+        )
+        print(f"{name}: V={V} J={J} B={B} → smal_forward_{name}.npz")
+
+    # symmetry-alignment golden (stick model, ignore_sym=False path)
+    for mod in list(sys.modules):
+        if mod.startswith("smal_model") or mod == "config":
+            del sys.modules[mod]
+    sys.modules["config"] = make_config_stub(MODELS["stick"][0], False)
+    sys.modules["config"].ignore_sym = False
+    from smal_model.smal_basics import align_smal_template_to_symmetry_axis  # noqa: E402
+    from smal_model.smal_torch import load_smal_model  # noqa: E402
+
+    dd = load_smal_model(os.path.join(REFERENCE, MODELS["stick"][0]))
+    try:
+        v_sym, li, ri, ci = align_smal_template_to_symmetry_axis(
+            np.asarray(dd["v_template"], dtype=np.float64), sym_file=None, I=np.asarray(dd["sym_verts"], int)
+        )
+        np.savez_compressed(
+            os.path.join(OUT, "symmetry_stick.npz"),
+            v_template=np.asarray(dd["v_template"]),
+            sym_verts=np.asarray(dd["sym_verts"]),
+            v_sym=v_sym,
+            left_inds=li,
+            right_inds=ri,
+            center_inds=ci,
+        )
+        print("symmetry_stick.npz written")
+    except Exception as exc:  # the reference's own alignment asserts on the stick model
+        print(f"symmetry golden skipped (reference alignment fails on this model: {type(exc).__name__})")
+
+
+if __name__ == "__main__":
+    main()
