@@ -1,0 +1,127 @@
+"""Optimization-fitting CLI — equivalent of the reference
+``python -m smal_fitter.optimize_to_joints`` (optimize_to_joints.py:66-195).
+
+Fits the SMIL model to a sequence (replicAnt COCO / BADJA / StanfordExtra) via
+the multi-stage OPT_WEIGHTS schedule, exporting per-frame collage png, param
+pkl, and posed ply every ``vis_frequency`` iterations.
+
+Usage:
+  python -m smilify_tpu.cli.optimize_to_joints \
+      --model 3D_model_prep/SMILy_STICK.pkl \
+      --sequence replicAnt:SMIL_09_synth.jpg \
+      --data-root data/replicAnt_trials/SMIL_COCO \
+      [--crop-size 512] [--test]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="SMIL optimization fitter")
+    ap.add_argument("--model", required=True, help="model .pkl file")
+    ap.add_argument("--sequence", default="replicAnt:SMIL_09_synth.jpg",
+                    help="dataset:name — replicAnt:<img>, badja:<seq>, stanfordextra:<img>")
+    ap.add_argument("--data-root", default="data/replicAnt_trials/SMIL_COCO")
+    ap.add_argument("--crop-size", type=int, default=512)
+    ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--vis-frequency", type=int, default=50)
+    ap.add_argument("--image-range", type=int, nargs=2, default=None, metavar=("LO", "HI"))
+    ap.add_argument("--test", action="store_true", help="10-iteration test schedule")
+    ap.add_argument("--limb-scaling", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.spec import load_model_spec
+    from smilify_tpu.data.loaders import load_badja_sequence, load_smil_sequence, load_stanford_sequence
+    from smilify_tpu.fitter.fitter import FitData, SmalFitter, render_frame
+    from smilify_tpu.fitter.stages import OPT_WEIGHTS, test_schedule
+    from smilify_tpu.render.cameras import default_camera
+    from smilify_tpu.utils.export import ImageExporter
+    from smilify_tpu.utils.visualization import fit_collage
+
+    spec = load_model_spec(args.model, align_symmetry=False)
+    out_dir = args.output_dir or os.path.join("checkpoints", time.strftime("%Y%m%d-%H%M%S"))
+
+    dataset, name = args.sequence.split(":")
+    if dataset == "replicAnt":
+        (rgb, sil, joints, vis), filenames = load_smil_sequence(
+            args.data_root, name, args.crop_size,
+            joint_names=spec.joint_names,
+            ignore_joints=[spec.joint_names[i] for i in spec.ignore_joints],
+        )
+    elif dataset == "badja":
+        rng = range(*args.image_range) if args.image_range else None
+        (rgb, sil, joints, vis), filenames = load_badja_sequence(
+            args.data_root, name, args.crop_size,
+            annotated_classes=list(range(spec.n_joints)), image_range=rng,
+        )
+    elif dataset == "stanfordextra":
+        (rgb, sil, joints, vis), filenames = load_stanford_sequence(args.data_root, name, args.crop_size)
+    else:
+        raise SystemExit(f"unknown dataset {dataset}")
+
+    H, W = sil.shape[1], sil.shape[2]
+    print(f"Dataset size: {len(filenames)}  image {H}x{W}  model J={spec.n_joints}")
+
+    data = FitData(
+        rgb=rgb,
+        sil=jnp.asarray(sil),
+        joints=jnp.asarray(joints),
+        visibility=jnp.asarray(vis),
+    )
+    fitter = SmalFitter(spec, data, (H, W), allow_limb_scaling=args.limb_scaling)
+    exporter = ImageExporter(out_dir, filenames)
+    schedule = test_schedule() if args.test else OPT_WEIGHTS
+
+    def visualize(stage_id, epoch):
+        verts, joints3d = fitter.forward_frames()
+        exporter.stage_id = stage_id
+        exporter.epoch_name = str(epoch)
+        for i in range(fitter.n_frames):
+            cam = default_camera().replace(fov=fitter.params.fov[i])
+            sil_r, kp_yx = render_frame(spec, cam, verts[i], joints3d[i], (H, W))
+            collage = fit_collage(
+                rgb[i],
+                np.repeat(np.asarray(sil_r)[..., None], 3, axis=-1),
+                sil[i],
+                np.asarray(sil_r),
+                joints[i],
+                np.asarray(kp_yx),
+                vis[i],
+            )
+            params_np = {
+                "global_rotation": np.asarray(fitter.params.global_rot[i]),
+                "joint_rotations": np.asarray(fitter.params.joint_rot[i]),
+                "betas": np.asarray(fitter.params.betas),
+                "trans": np.asarray(fitter.params.trans[i]),
+                "fov": np.asarray(fitter.params.fov[i]),
+                "log_betascale": np.asarray(fitter.params.log_beta_scales),
+                "betas_trans": np.asarray(fitter.params.joint_trans),
+            }
+            exporter.export((collage * 255.0), i, params_np, np.asarray(verts[i]), np.asarray(spec.faces))
+
+    t_start = time.time()
+    last = {}
+
+    def cb(stage, it, loss, objs):
+        last.update(stage=stage, it=it, loss=float(loss))
+        if it % args.vis_frequency == 0:
+            print(f"stage {stage} it {it:4d} loss {float(loss):.4f} "
+                  + " ".join(f"{k}={float(v):.3f}" for k, v in objs.items() if float(v) != 0))
+            visualize(stage, it)
+
+    fitter.fit(schedule, callback=cb)
+    visualize(10, 0)  # final export, reference convention stage_id=10
+    print(f"done in {time.time()-t_start:.1f}s → {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

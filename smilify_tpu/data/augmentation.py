@@ -1,0 +1,129 @@
+"""On-the-fly training augmentation (host-side numpy/cv2).
+
+Equivalent of the reference's dataset augmentations
+(``sleap_data/sleap_multiview_dataset.py:801-960``):
+  * photometric — brightness / contrast / saturation jitter, gaussian noise,
+    gaussian blur, random erasing — keypoints and cameras untouched;
+  * geometric — center scale jitter that UPDATES the camera intrinsics K so
+    reprojection stays consistent (the invariant the reference's
+    test_augmentation.py asserts).
+
+All randomness flows through an explicit ``np.random.Generator``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class AugmentationParams:
+    enabled: bool = True
+    geometric_enabled: bool = False
+    color_jitter_brightness: float = 0.2
+    color_jitter_contrast: float = 0.2
+    color_jitter_saturation: float = 0.15
+    gaussian_noise_std: float = 0.015
+    gaussian_blur_prob: float = 0.3
+    gaussian_blur_kernel_range: Tuple[int, int] = (3, 7)
+    random_erasing_prob: float = 0.2
+    random_erasing_scale_range: Tuple[float, float] = (0.02, 0.1)
+    scale_jitter_range: Tuple[float, float] = (0.9, 1.1)
+
+
+def photometric_augment(img: np.ndarray, rng: np.random.Generator, p: AugmentationParams) -> np.ndarray:
+    """(H, W, 3) float [0,1] → augmented copy; geometry unchanged."""
+    import cv2
+
+    out = img.astype(np.float32).copy()
+
+    b = rng.uniform(-p.color_jitter_brightness, p.color_jitter_brightness)
+    out = out + b
+
+    c = 1.0 + rng.uniform(-p.color_jitter_contrast, p.color_jitter_contrast)
+    out = (out - out.mean()) * c + out.mean()
+
+    s = 1.0 + rng.uniform(-p.color_jitter_saturation, p.color_jitter_saturation)
+    gray = out.mean(axis=-1, keepdims=True)
+    out = gray + (out - gray) * s
+
+    if p.gaussian_noise_std > 0:
+        out = out + rng.normal(0.0, p.gaussian_noise_std, out.shape).astype(np.float32)
+
+    if rng.random() < p.gaussian_blur_prob:
+        klo, khi = p.gaussian_blur_kernel_range
+        k = int(rng.integers(klo // 2, khi // 2 + 1)) * 2 + 1
+        out = cv2.GaussianBlur(out, (k, k), 0)
+
+    if rng.random() < p.random_erasing_prob:
+        H, W = out.shape[:2]
+        area = H * W * rng.uniform(*p.random_erasing_scale_range)
+        aspect = rng.uniform(0.5, 2.0)
+        eh = int(np.sqrt(area * aspect))
+        ew = int(np.sqrt(area / aspect))
+        if eh < H and ew < W and eh > 0 and ew > 0:
+            y0 = int(rng.integers(0, H - eh))
+            x0 = int(rng.integers(0, W - ew))
+            out[y0 : y0 + eh, x0 : x0 + ew] = rng.random(3).astype(np.float32)
+
+    return np.clip(out, 0.0, 1.0)
+
+
+def geometric_scale_jitter(
+    img: np.ndarray,
+    K: np.ndarray,
+    rng: np.random.Generator,
+    p: AugmentationParams,
+    keypoints_xy: Optional[np.ndarray] = None,
+):
+    """Scale about the image center and update K (and pixel keypoints).
+
+    A zoom by factor s about the center is equivalent to multiplying the focal
+    lengths by s (principal point at center fixed-point) — so 3D reprojection
+    through the updated K lands on the transformed pixels.
+    """
+    import cv2
+
+    H, W = img.shape[:2]
+    s = rng.uniform(*p.scale_jitter_range)
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+
+    M = np.array([[s, 0, (1 - s) * cx], [0, s, (1 - s) * cy]], dtype=np.float64)
+    out = cv2.warpAffine(img, M, (W, H), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+
+    K_new = K.astype(np.float64).copy()
+    K_new[0, 0] *= s
+    K_new[1, 1] *= s
+    K_new[0, 2] = s * K[0, 2] + (1 - s) * cx
+    K_new[1, 2] = s * K[1, 2] + (1 - s) * cy
+
+    kp_new = None
+    if keypoints_xy is not None:
+        kp = np.asarray(keypoints_xy, dtype=np.float64)
+        kp_new = kp * s + np.array([(1 - s) * cx, (1 - s) * cy])
+    return out, K_new, kp_new
+
+
+def augment_multiview_sample(sample: dict, rng: np.random.Generator, p: AugmentationParams) -> dict:
+    """Apply photometric (per view) and optional geometric augs to a padded
+    multi-view sample dict (see MultiViewHDF5Dataset.__getitem__)."""
+    if not p.enabled:
+        return sample
+    out = dict(sample)
+    images = sample["images"].copy()
+    K = sample["camera_intrinsics"].copy()
+    kp = sample["keypoints_2d"].copy()
+    for v in np.nonzero(sample["view_mask"])[0]:
+        images[v] = photometric_augment(images[v], rng, p)
+        if p.geometric_enabled:
+            img, K_new, kp_new = geometric_scale_jitter(images[v], K[v], rng, p, kp[v])
+            images[v] = img
+            K[v] = K_new
+            kp[v] = kp_new
+    out["images"] = images
+    out["camera_intrinsics"] = K
+    out["keypoints_2d"] = kp
+    return out

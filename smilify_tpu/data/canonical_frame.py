@@ -1,0 +1,79 @@
+"""Canonical-camera-frame math (host-side numpy).
+
+Behavioral equivalent of the reference ``multiview_common/canonical_frame.py``:
+pick the lowest-index valid camera as the world origin, express every other
+camera and the 3D keypoints relative to it, with an exact inverse. OpenCV
+column-vector convention throughout: ``X_cam = R @ X_world + t``.
+
+The (0, 0, 0) sentinel for joints without ground-truth 3D is preserved
+exactly (reference canonical_frame.py:100-105).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def canonicalize_sample(
+    R: np.ndarray, t: np.ndarray, kp3d: np.ndarray, view_mask: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Re-anchor world coordinates at the lowest-index valid camera.
+
+    Returns (R_new, t_new, kp3d_new, R_0, t_0, canonical_view).
+    """
+    R = np.asarray(R, dtype=np.float64)
+    t = np.asarray(t, dtype=np.float64)
+    kp3d = np.asarray(kp3d, dtype=np.float64)
+    view_mask = np.asarray(view_mask, dtype=bool)
+
+    valid = np.nonzero(view_mask)[0]
+    if valid.size == 0:
+        raise ValueError("canonicalize_sample: view_mask has no True entries")
+    v0 = int(valid[0])
+    R0, t0 = R[v0].copy(), t[v0].copy()
+
+    R_new = R.copy()
+    t_new = t.copy()
+    for v in valid:
+        R_new[v] = R[v] @ R0.T
+        t_new[v] = t[v] - R_new[v] @ t0
+
+    kp3d_new = kp3d.copy()
+    nonzero = ~np.all(kp3d == 0.0, axis=1)
+    kp3d_new[nonzero] = kp3d[nonzero] @ R0.T + t0
+    return R_new, t_new, kp3d_new, R0, t0, v0
+
+
+def decanonicalize_points(kp3d_can: np.ndarray, R0: np.ndarray, t0: np.ndarray) -> np.ndarray:
+    """Inverse transform: X_world = R0ᵀ (X_can − t0); zero sentinels preserved."""
+    out = kp3d_can.copy().astype(np.float64)
+    nonzero = ~np.all(kp3d_can == 0.0, axis=1)
+    out[nonzero] = (kp3d_can[nonzero] - t0) @ R0
+    return out
+
+
+def project_world_to_pixel(X_world: np.ndarray, R: np.ndarray, t: np.ndarray, K: np.ndarray) -> np.ndarray:
+    """OpenCV pinhole projection: (N, 3) world → (N, 2) pixel (x, y)."""
+    Xc = X_world @ R.T + t
+    uv = Xc[:, :2] / np.maximum(Xc[:, 2:3], 1e-12)
+    return uv @ K[:2, :2].T + K[:2, 2]
+
+
+def cam_center_world(R: np.ndarray, t: np.ndarray) -> np.ndarray:
+    return -R.T @ t
+
+
+def kp2d_norm_yx_to_pixel_xy(kp2d_norm_yx: np.ndarray, img_W: int, img_H: int) -> np.ndarray:
+    """Normalized (y, x) in [0, 1] → pixel (x, y)."""
+    return np.stack([kp2d_norm_yx[..., 1] * img_W, kp2d_norm_yx[..., 0] * img_H], axis=-1)
+
+
+def infer_world_scale(t: np.ndarray, view_mask: np.ndarray, threshold: float = 50.0) -> float:
+    """mm→m heuristic: median camera distance > 50 means millimetre units
+    (reference canonical_frame.py:349)."""
+    norms = np.linalg.norm(np.asarray(t)[np.asarray(view_mask, bool)], axis=-1)
+    if norms.size and np.median(norms) > threshold:
+        return 0.001
+    return 1.0

@@ -53,16 +53,23 @@ DEFAULT_LOSS_WEIGHTS = {
     "sdf": 0.5,
 }
 
-# reference SMALParamGroup.param_map (trainer.py:248-291)
+# reference SMALParamGroup.param_map (trainer.py:251-262)
 PARAM_SCHEMES: Dict[str, List[str]] = {
     "init": ["global_rot", "trans"],
-    "init_scale": ["global_rot", "trans", "log_beta_scales"],
-    "init_scale_trans": ["global_rot", "trans", "log_beta_scales", "betas_trans"],
-    "1": ["global_rot", "trans", "betas", "log_beta_scales"],
-    "shape": ["betas", "log_beta_scales"],
-    "pose": ["joint_rot", "trans", "global_rot"],
+    "init_rot_lock": ["trans", "log_beta_scales"],
+    "init_rot_lock_trans": ["trans", "betas_trans"],
+    "init_rot_lock_trans_scale": ["trans", "betas_trans", "log_beta_scales"],
+    "default": ["global_rot", "joint_rot", "trans", "betas", "log_beta_scales"],
+    "default_with_betas_trans": [
+        "global_rot", "joint_rot", "trans", "betas", "log_beta_scales", "betas_trans",
+    ],
+    "shape": ["global_rot", "trans", "betas", "log_beta_scales", "betas_trans"],
+    "pose": ["global_rot", "trans", "joint_rot", "betas", "log_beta_scales", "betas_trans"],
     "deform": ["deform_verts"],
-    "all": ["global_rot", "trans", "betas", "log_beta_scales", "joint_rot", "deform_verts"],
+    "all": [
+        "global_rot", "trans", "joint_rot", "betas", "log_beta_scales", "betas_trans",
+        "deform_verts",
+    ],
 }
 
 

@@ -1,0 +1,219 @@
+"""Image backbones in Flax: ResNet-50/101/152, ViT-B/L-16, UNet variants.
+
+TPU-native replacements for the reference's torchvision/timm backbones
+(``neuralSMIL/backbone_factory.py``). Every backbone returns a
+:class:`BackboneFeatures` with
+  * ``pooled``  — (B, D) global feature (GAP / CLS token),
+  * ``tokens``  — (B, T, D) patch/spatial tokens for decoder cross-attention
+    (196 tokens for ViT-16 @224; flattened final map for CNNs),
+  * ``spatial`` — (B, H', W', C) final feature map (UNet decoders).
+
+Weights are trained from scratch or loaded from converted checkpoints via
+``smilify_tpu.models.weight_port`` (the environment has no network access, so
+torchvision/timm pretrained weights must be converted offline to .npz).
+
+Compute dtype is configurable (bf16 on TPU MXU by default); parameters stay
+f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torchvision/timm normalization constants (inputs are [0,1] RGB)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class BackboneFeatures(NamedTuple):
+    pooled: jnp.ndarray
+    tokens: Optional[jnp.ndarray]
+    spatial: Optional[jnp.ndarray]
+
+
+def normalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype=x.dtype)
+    return (x - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# ResNet
+# ---------------------------------------------------------------------------
+
+
+class Bottleneck(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(use_running_average=not train, dtype=self.dtype)  # noqa: E731
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides), padding=1,
+                    use_bias=False, dtype=self.dtype)(y)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = norm()(y)
+        if residual.shape[-1] != self.features * 4 or self.strides != 1:
+            residual = nn.Conv(self.features * 4, (1, 1), strides=(self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype)(residual)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet-v1 bottleneck backbone (50/101/152 via stage_sizes)."""
+
+    stage_sizes: Sequence[int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> BackboneFeatures:
+        x = normalize_imagenet(x).astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, n_blocks in enumerate(self.stage_sizes):
+            for b in range(n_blocks):
+                strides = 2 if (b == 0 and i > 0) else 1
+                x = Bottleneck(64 * 2**i, strides=strides, dtype=self.dtype)(x, train=train)
+        spatial = x.astype(jnp.float32)  # (B, H/32, W/32, 2048)
+        pooled = jnp.mean(spatial, axis=(1, 2))
+        B, Hs, Ws, C = spatial.shape
+        tokens = spatial.reshape(B, Hs * Ws, C)
+        return BackboneFeatures(pooled=pooled, tokens=tokens, spatial=spatial)
+
+
+# ---------------------------------------------------------------------------
+# ViT
+# ---------------------------------------------------------------------------
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.MultiHeadDotProductAttention(num_heads=self.num_heads, dtype=self.dtype)(y, y)
+        x = x + y
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype)(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    """ViT-16 (base: 12×768, large: 24×1024) with CLS token + patch tokens."""
+
+    depth: int
+    dim: int
+    num_heads: int
+    patch: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> BackboneFeatures:
+        x = normalize_imagenet(x).astype(self.dtype)
+        B, H, W, _ = x.shape
+        x = nn.Conv(self.dim, (self.patch, self.patch), strides=(self.patch, self.patch),
+                    dtype=self.dtype, name="patch_embed")(x)
+        Hs, Ws = x.shape[1], x.shape[2]
+        x = x.reshape(B, Hs * Ws, self.dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, Hs * Ws + 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.dim)).astype(self.dtype), x], axis=1)
+        x = x + pos.astype(self.dtype)
+        for _ in range(self.depth):
+            x = TransformerBlock(self.dim, self.num_heads, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(jnp.float32)
+        cls_out = x[:, 0]
+        tokens = x[:, 1:]
+        spatial = tokens.reshape(B, Hs, Ws, self.dim)
+        return BackboneFeatures(pooled=cls_out, tokens=tokens, spatial=spatial)
+
+
+# ---------------------------------------------------------------------------
+# UNet (CNN encoder + skip decoder → spatial map; reference UNetBackbone)
+# ---------------------------------------------------------------------------
+
+
+class ConvBlock(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for _ in range(2):
+            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class UNet(nn.Module):
+    """Encoder-decoder with skips; pooled vector + decoder tokens."""
+
+    widths: Sequence[int] = (64, 128, 256, 512, 1024)
+    out_dim: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> BackboneFeatures:
+        x = normalize_imagenet(x).astype(self.dtype)
+        skips = []
+        for w in self.widths[:-1]:
+            x = ConvBlock(w, dtype=self.dtype)(x, train=train)
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = ConvBlock(self.widths[-1], dtype=self.dtype)(x, train=train)
+        bottleneck = x
+        for w, skip in zip(reversed(self.widths[:-1]), reversed(skips)):
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest-neighbor ×2
+            x = nn.Conv(w, (3, 3), padding=1, dtype=self.dtype)(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvBlock(w, dtype=self.dtype)(x, train=train)
+        x = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype)(x)
+        spatial = x.astype(jnp.float32)
+        pooled = jnp.mean(bottleneck.astype(jnp.float32), axis=(1, 2))
+        # decoder tokens at 1/8 resolution for cross-attention (bounded count)
+        tok_map = nn.avg_pool(spatial, (8, 8), strides=(8, 8))
+        B, Ht, Wt, C = tok_map.shape
+        tokens = tok_map.reshape(B, Ht * Wt, C)
+        return BackboneFeatures(pooled=pooled, tokens=tokens, spatial=spatial)
+
+
+# ---------------------------------------------------------------------------
+# factory (reference BackboneFactory.SUPPORTED_BACKBONES)
+# ---------------------------------------------------------------------------
+
+BACKBONES: dict = {
+    "resnet50": lambda dtype=jnp.bfloat16: (ResNet([3, 4, 6, 3], dtype=dtype), 2048),
+    "resnet101": lambda dtype=jnp.bfloat16: (ResNet([3, 4, 23, 3], dtype=dtype), 2048),
+    "resnet152": lambda dtype=jnp.bfloat16: (ResNet([3, 8, 36, 3], dtype=dtype), 2048),
+    "vit_base_patch16_224": lambda dtype=jnp.bfloat16: (ViT(12, 768, 12, dtype=dtype), 768),
+    "vit_large_patch16_224": lambda dtype=jnp.bfloat16: (ViT(24, 1024, 16, dtype=dtype), 1024),
+    "unet_resnet34": lambda dtype=jnp.bfloat16: (UNet(out_dim=512, dtype=dtype), 1024),
+    "unet_small": lambda dtype=jnp.bfloat16: (UNet(widths=(32, 64, 128, 256), out_dim=256, dtype=dtype), 256),
+}
+
+
+def create_backbone(name: str, dtype=jnp.bfloat16):
+    """(module, feature_dim) for a supported backbone name."""
+    if name not in BACKBONES:
+        raise ValueError(f"unsupported backbone {name}; choose from {sorted(BACKBONES)}")
+    return BACKBONES[name](dtype=dtype)

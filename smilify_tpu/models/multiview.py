@@ -1,0 +1,333 @@
+"""Multi-view image→SMIL regressor with cross-view fusion and camera heads.
+
+TPU-first re-design of the reference ``neuralSMIL/multiview_smil_regressor.py``:
+  * the shared backbone runs over the flattened (B·V) view batch
+    (forward_multiview:435-552) — on TPU this is one big batched conv/attention
+    pass, no VRAM chunking needed;
+  * learned per-canonical-camera view embeddings are added to both the pooled
+    view features and the per-view patch tokens (:418-433);
+  * cross-view attention fuses the ≤max_views view tokens (CrossViewAttention
+    :27 / MultiViewFeatureFusion:137) under an explicit boolean view mask —
+    variable view counts become static max_views + masks (jit-friendly);
+  * per-canonical-view CameraHeads predict fov + 6D rotation + translation,
+    optionally as deltas from a ground-truth initialization
+    (CameraHead:175-340);
+  * the body head is the shared IEF transformer decoder cross-attending the
+    concatenated view tokens.
+
+Loss extras vs single-view (compute_multiview_batch_loss:789+): per-view
+visibility-weighted 2D keypoint loss through each view's camera, world-space
+3D keypoint loss, and the differentiable DLT triangulation-consistency loss —
+GT 2D keypoints triangulated through *predicted* cameras vs predicted 3D
+joints (gradients flow into the camera heads; _triangulate_joints_dlt:1707).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from smilify_tpu.core.spec import ModelSpec
+from smilify_tpu.models.backbones import create_backbone
+from smilify_tpu.models.regressor import (
+    DEFAULT_LOSS_WEIGHTS,
+    RegressorConfig,
+    _masked_mse,
+    decode_predictions,
+    forward_model,
+)
+from smilify_tpu.models.transformer_decoder import SMILTransformerDecoderHead
+from smilify_tpu.core.rotations import robust_rotation_6d_to_matrix
+from smilify_tpu.render.cameras import FoVCamera, default_camera, triangulate_dlt
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+MULTIVIEW_DEFAULT_LOSS_WEIGHTS = dict(
+    DEFAULT_LOSS_WEIGHTS,
+    keypoint_2d=1.0,
+    keypoint_3d=1.0,
+    triangulation_consistency=0.1,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiViewConfig(RegressorConfig):
+    max_views: int = 4
+    num_canonical_cameras: int = 18
+    fusion_heads: int = 8
+    fusion_layers: int = 2
+    camera_delta_mode: bool = False  # predict deltas from GT camera init
+
+    def body_group_dims(self):
+        rot = 6 if self.rotation_representation == "6d" else 3
+        groups = [
+            ("global_rot", rot),
+            ("joint_rot", self.n_pose * rot),
+            ("betas", self.n_betas),
+            ("trans", 3),
+        ]
+        if self.scale_trans_mode == "separate":
+            if self.use_pca_scale_trans:
+                groups += [("scale_weights", self.n_betas), ("trans_weights", self.n_betas)]
+            else:
+                groups += [
+                    ("log_beta_scales", self.n_joints * 3),
+                    ("betas_trans", self.n_joints * 3),
+                ]
+        return tuple(groups)
+
+
+class CrossViewFusion(nn.Module):
+    """Self-attention over view tokens with a mask (reference CrossViewAttention)."""
+
+    dim: int
+    num_heads: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, view_feats: jnp.ndarray, view_mask: jnp.ndarray):
+        # view_feats (B, V, D), view_mask (B, V) bool
+        x = nn.Dense(self.dim)(view_feats)
+        attn_mask = view_mask[:, None, None, :]  # (B, 1, 1, V) key mask
+        for _ in range(self.num_layers):
+            y = nn.LayerNorm()(x)
+            y = nn.MultiHeadDotProductAttention(num_heads=self.num_heads)(y, y, mask=attn_mask)
+            x = x + y
+            y = nn.LayerNorm()(x)
+            y = nn.Dense(self.dim * 4)(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.dim)(y)
+            x = x + y
+        # masked mean-pool over views
+        m = view_mask[..., None].astype(x.dtype)
+        pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        return x, pooled
+
+
+class CameraHead(nn.Module):
+    """Per-view camera regression: fov + 6D rotation + translation
+    (reference CameraHead:175-340). One shared MLP conditioned on the
+    canonical-camera embedding (equivalent capacity to per-camera heads while
+    staying a single jit-friendly module)."""
+
+    hidden: int = 256
+    delta_mode: bool = False
+
+    @nn.compact
+    def __call__(self, view_feats, cam_embed, init_fov=None, init_rot6d=None, init_trans=None):
+        x = jnp.concatenate([view_feats, cam_embed], axis=-1)
+        for _ in range(2):
+            x = nn.Dense(self.hidden)(x)
+            x = nn.LayerNorm()(x)
+            x = nn.relu(x)
+        fov_raw = nn.Dense(1, kernel_init=nn.initializers.zeros)(x)[..., 0]
+        rot6d = nn.Dense(6, kernel_init=nn.initializers.zeros)(x)
+        trans = nn.Dense(3, kernel_init=nn.initializers.zeros)(x)
+        if self.delta_mode and init_fov is not None:
+            fov = init_fov + fov_raw
+            rot6d = init_rot6d + rot6d
+            trans = init_trans + trans
+        else:
+            fov = 60.0 + fov_raw
+            rot6d = rot6d + jnp.asarray([1.0, 0, 0, 0, 1.0, 0])
+            trans = trans + jnp.asarray([0.0, 0.0, 2.7])
+        return fov, rot6d, trans
+
+
+class MultiViewSMILRegressor(nn.Module):
+    """images (B, V, H, W, 3) + view_mask (B, V) + camera ids (B, V) → params."""
+
+    config: MultiViewConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        view_mask: jnp.ndarray,
+        camera_ids: jnp.ndarray,
+        gt_cameras: Optional[Dict[str, jnp.ndarray]] = None,
+        train: bool = False,
+    ):
+        cfg = self.config
+        B, V = images.shape[:2]
+        backbone, feat_dim = create_backbone(cfg.backbone, dtype=cfg.compute_dtype)
+        flat = images.reshape((B * V,) + images.shape[2:])
+        feats = backbone(flat, train=train)
+
+        pooled = feats.pooled.reshape(B, V, -1)
+        T = feats.tokens.shape[1]
+        tokens = feats.tokens.reshape(B, V, T, -1)
+
+        # learned canonical-camera view embeddings (reference :418-433)
+        view_embed = nn.Embed(cfg.num_canonical_cameras, pooled.shape[-1], name="view_embeddings")(
+            jnp.clip(camera_ids, 0, cfg.num_canonical_cameras - 1)
+        )
+        pooled = pooled + view_embed
+        tokens = tokens + view_embed[:, :, None, :]
+
+        # cross-view fusion
+        fused_tokens, fused_pooled = CrossViewFusion(
+            dim=cfg.decoder_dim, num_heads=cfg.fusion_heads, num_layers=cfg.fusion_layers,
+            name="cross_view_fusion",
+        )(pooled, view_mask)
+
+        # body head: IEF decoder cross-attending all views' patch tokens
+        mem = tokens.reshape(B, V * T, -1)
+        body_head = SMILTransformerDecoderHead(
+            group_dims=cfg.body_group_dims(),
+            dim=cfg.decoder_dim,
+            depth=cfg.decoder_depth,
+            num_heads=cfg.decoder_heads,
+            ief_iters=cfg.ief_iters,
+            n_pose=cfg.n_pose,
+            name="body_head",
+        )
+        raw_body, history = body_head(mem, deterministic=not train)
+
+        # camera heads per view
+        cam_head = CameraHead(delta_mode=cfg.camera_delta_mode, name="camera_head")
+        init_fov = gt_cameras.get("fov") if (cfg.camera_delta_mode and gt_cameras) else None
+        init_rot = gt_cameras.get("rot6d") if (cfg.camera_delta_mode and gt_cameras) else None
+        init_trans = gt_cameras.get("trans") if (cfg.camera_delta_mode and gt_cameras) else None
+        fov, rot6d, trans = cam_head(
+            jnp.concatenate([pooled, jnp.broadcast_to(fused_pooled[:, None], (B, V, fused_pooled.shape[-1]))], axis=-1),
+            view_embed,
+            init_fov, init_rot, init_trans,
+        )
+
+        raw = dict(raw_body)
+        raw["cam_fov"] = fov            # (B, V)
+        raw["cam_rot6d"] = rot6d        # (B, V, 6)
+        raw["cam_trans"] = trans        # (B, V, 3)
+        return raw, history
+
+
+def decode_multiview_predictions(cfg: MultiViewConfig, raw, spec: Optional[ModelSpec] = None):
+    """Decode body params (single-view decoder reuse) + per-view cameras."""
+    body_raw = {k: v for k, v in raw.items() if not k.startswith("cam_")}
+    # satisfy the single-view decoder's camera expectations with placeholders
+    B = raw["global_rot"].shape[0]
+    body_raw.setdefault("fov", jnp.full((B, 1), 60.0))
+    body_raw.setdefault("cam_rot", jnp.tile(jnp.asarray([1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0])[None], (B, 1)))
+    body_raw.setdefault("cam_trans", jnp.tile(jnp.asarray([0.0, 0, 2.7])[None], (B, 1)))
+    preds = decode_predictions(cfg, body_raw, spec)
+    preds["view_fov"] = raw["cam_fov"]
+    preds["view_cam_rot"] = robust_rotation_6d_to_matrix(raw["cam_rot6d"])
+    preds["view_cam_trans"] = raw["cam_trans"]
+    return preds
+
+
+def project_through_view_cameras(preds, points, image_size):
+    """(B, K, 3) points through (B, V) predicted cameras → normalized (B, V, K, 2) yx."""
+    H, W = image_size
+
+    def one_view(R, T, fov, pts):
+        cam = default_camera().replace(R=R, T=T, fov=fov)
+        yx = cam.project_points_yx(pts, (H, W))
+        return yx / jnp.asarray([H, W], dtype=yx.dtype)
+
+    def one_sample(Rs, Ts, fovs, pts):
+        return jax.vmap(lambda R, T, f: one_view(R, T, f, pts))(Rs, Ts, fovs)
+
+    return jax.vmap(one_sample)(
+        preds["view_cam_rot"], preds["view_cam_trans"], preds["view_fov"], points
+    )
+
+
+def view_projection_matrices(preds):
+    """(B, V, 4, 4) world→clip matrices of the predicted cameras."""
+
+    def one(R, T, fov):
+        cam = default_camera().replace(R=R, T=T, fov=fov)
+        return cam.full_projection_matrix()
+
+    return jax.vmap(jax.vmap(one))(preds["view_cam_rot"], preds["view_cam_trans"], preds["view_fov"])
+
+
+def compute_multiview_batch_loss(
+    spec: ModelSpec,
+    cfg: MultiViewConfig,
+    preds: Dict[str, jnp.ndarray],
+    targets: Dict[str, jnp.ndarray],
+    view_mask: jnp.ndarray,
+    loss_weights: Optional[Dict[str, float]] = None,
+    image_size: Tuple[int, int] = (224, 224),
+):
+    """Multi-view loss (reference compute_multiview_batch_loss:789-828).
+
+    targets may contain: body-param targets (as single-view), per-view
+    keypoints_2d (B, V, K, 2 normalized yx) + kp_visibility (B, V, K),
+    keypoints_3d (B, K, 3 world), gt view cameras (view_fov/view_cam_rot/
+    view_cam_trans).
+    """
+    w = dict(MULTIVIEW_DEFAULT_LOSS_WEIGHTS, **(loss_weights or {}))
+    objs: Dict[str, jnp.ndarray] = {}
+
+    # body-parameter losses (computed once, not per view)
+    for name in ("global_rot", "joint_rot", "betas", "trans", "log_beta_scales", "betas_trans"):
+        if w.get(name, 0) > 0 and name in targets and name in preds:
+            objs[name] = w[name] * _masked_mse(preds[name], targets[name])
+
+    # per-view camera losses
+    vm = view_mask.astype(jnp.float32)
+    if w.get("fov", 0) > 0 and "view_fov" in targets:
+        objs["fov"] = w["fov"] * _masked_mse(preds["view_fov"], targets["view_fov"], vm)
+    if w.get("cam_rot", 0) > 0 and "view_cam_rot" in targets:
+        objs["cam_rot"] = w["cam_rot"] * _masked_mse(
+            preds["view_cam_rot"], targets["view_cam_rot"], vm[:, :, None, None]
+        )
+    if w.get("cam_trans", 0) > 0 and "view_cam_trans" in targets:
+        objs["cam_trans"] = w["cam_trans"] * _masked_mse(
+            preds["view_cam_trans"], targets["view_cam_trans"], vm[:, :, None]
+        )
+
+    needs_3d = (
+        (w.get("keypoint_2d", 0) > 0 and "keypoints_2d" in targets)
+        or (w.get("keypoint_3d", 0) > 0 and "keypoints_3d" in targets)
+        or (w.get("triangulation_consistency", 0) > 0 and "keypoints_2d" in targets)
+    )
+    if needs_3d:
+        verts, joints3d = forward_model(spec, preds)
+
+        if w.get("keypoint_2d", 0) > 0 and "keypoints_2d" in targets:
+            kp_pred = project_through_view_cameras(preds, joints3d, image_size)  # (B,V,K,2)
+            vis = targets.get("kp_visibility")
+            mask = vm[:, :, None, None]
+            if vis is not None:
+                mask = mask * vis[..., None]
+            objs["keypoint_2d"] = w["keypoint_2d"] * _masked_mse(
+                kp_pred, targets["keypoints_2d"], mask
+            )
+
+        if w.get("keypoint_3d", 0) > 0 and "keypoints_3d" in targets:
+            objs["keypoint_3d"] = w["keypoint_3d"] * _masked_mse(joints3d, targets["keypoints_3d"])
+
+        if w.get("triangulation_consistency", 0) > 0 and "keypoints_2d" in targets:
+            # GT 2D keypoints triangulated through PREDICTED cameras vs
+            # predicted 3D joints (reference _triangulate_joints_dlt:1707-1839)
+            P = view_projection_matrices(preds)  # (B, V, 4, 4)
+            H, W = image_size
+            # normalized (y, x) → NDC (x, y): invert the screen transform
+            kp = targets["keypoints_2d"]
+            s = min(H, W)
+            x_ndc = (W - 1.0 - 2.0 * kp[..., 1] * W) / s
+            y_ndc = (H - 1.0 - 2.0 * kp[..., 0] * H) / s
+            ndc = jnp.stack([x_ndc, y_ndc], axis=-1)  # (B, V, K, 2)
+            vis = targets.get("kp_visibility")
+            mask3 = vm[:, :, None] * (vis if vis is not None else 1.0)
+            tri = jax.vmap(lambda n, p, m: triangulate_dlt(n, p, m))(ndc, P, mask3)
+            objs["triangulation_consistency"] = w["triangulation_consistency"] * _masked_mse(
+                tri, joints3d
+            )
+
+    if w.get("joint_angle_regularization", 0) > 0:
+        objs["joint_angle_regularization"] = w["joint_angle_regularization"] * jnp.mean(
+            preds["joint_rot"] ** 2
+        )
+
+    total = sum(objs.values()) if objs else jnp.asarray(0.0)
+    return total, objs

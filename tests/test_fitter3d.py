@@ -1,0 +1,120 @@
+"""3D mesh-registration tests: synthetic self-recovery + the YAML CLI on the
+bundled ATTA_BOI scan."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import STICK_PKL
+
+
+def test_register_to_scaled_self(stick_spec, tmp_path):
+    """Fitting the template to a translated copy of itself must drive chamfer down."""
+    from smilify_tpu.fitter.fitter3d import (
+        Stage,
+        StageManager,
+        fitter3d_forward,
+        init_3d_params,
+        pad_target_meshes,
+    )
+
+    spec = stick_spec
+    offset = np.array([0.4, 0.2, -0.3], np.float32)
+    target_v = np.asarray(spec.v_template) + offset
+    targets = pad_target_meshes([(target_v, np.asarray(spec.faces))], ["self"])
+
+    mgr = StageManager(spec, targets, seed=0)
+    mgr.add_stage(
+        Stage(
+            "init", "init", n_its=60, lr=0.05,
+            loss_weights={"chamfer": 1.0, "edge": 0.0, "normal": 0.0, "laplacian": 0.0, "sdf": 0.0},
+            num_samples=2000,
+        )
+    )
+    losses = []
+    mgr.run(callback=lambda s, i, l, o: losses.append(l))
+
+    # chamfer between two independent samplings at PERFECT alignment — the
+    # achievable noise floor for this sample count
+    import jax
+
+    from smilify_tpu.ops.mesh_ops import sample_points_from_meshes
+    from smilify_tpu.ops.knn import knn_points
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(42))
+    p1 = sample_points_from_meshes(spec.v_template, spec.faces, 2000, k1)
+    p2 = sample_points_from_meshes(spec.v_template, spec.faces, 2000, k2)
+    floor = float(
+        jnp.mean(knn_points(p1, p2, K=1).dists) + jnp.mean(knn_points(p2, p1, K=1).dists)
+    )
+    # converged to within 1.5x of the aligned sampling-noise floor
+    assert losses[-1] < max(floor * 1.5, losses[0] * 0.8), (losses[0], losses[-1], floor)
+    # the lateral (chamfer-observable) axis must be recovered; the model's
+    # elongated axis is chamfer-blind to sliding, so we don't assert it
+    trans = np.asarray(mgr.params.trans[0])
+    assert abs(trans[0] - offset[0]) < 0.05, trans
+
+    out = mgr.save_npz(str(tmp_path), "teststage")
+    data = np.load(out, allow_pickle=True)
+    assert data["verts"].shape == (1, spec.n_verts, 3)
+    assert list(data["labels"]) == ["self"]
+
+
+@pytest.mark.slow
+def test_optimise_3d_cli_atta(tmp_path):
+    """End-to-end YAML-staged registration on the bundled ant scan (10 iters)."""
+    import yaml
+
+    from smilify_tpu.cli.optimise_3d import main
+
+    cfg = {
+        "stages": {
+            "Stage0": {"scheme": "init", "nits": 10, "lr": 0.05},
+            "Stage1": {
+                "scheme": "default",
+                "nits": 10,
+                "lr": 0.03,
+                "loss_weights": {"w_chamfer": 1.0, "w_edge": 0.8, "w_normal": 0.02, "w_laplacian": 0.01},
+                "custom_lrs": {"joint_rot": 0.005},
+            },
+        }
+    }
+    ypath = tmp_path / "cfg.yaml"
+    ypath.write_text(yaml.safe_dump(cfg))
+    results = tmp_path / "results"
+    main([
+        "--model", STICK_PKL,
+        "--mesh_dir", "/root/reference/fitter_3d/ATTA_BOI",
+        "--yaml_src", str(ypath),
+        "--results_dir", str(results),
+        "--num_samples", "500",
+    ])
+    out = results / "batch_0" / "Stage1.npz"
+    assert out.exists()
+    data = np.load(out, allow_pickle=True)
+    assert np.isfinite(data["verts"]).all()
+
+
+def test_obj_roundtrip(tmp_path):
+    from smilify_tpu.utils.export import load_obj, save_obj
+
+    v = np.random.RandomState(0).randn(10, 3).astype(np.float32)
+    f = np.array([[0, 1, 2], [2, 3, 4]], np.int32)
+    p = str(tmp_path / "m.obj")
+    save_obj(p, v, f)
+    v2, f2 = load_obj(p)
+    np.testing.assert_allclose(v2, v, atol=1e-5)
+    np.testing.assert_array_equal(f2, f)
+
+
+def test_load_reference_atta_obj():
+    from smilify_tpu.utils.export import load_obj
+
+    path = "/root/reference/fitter_3d/ATTA_BOI/Atta_vollenweideri_1_mg_worker.obj"
+    if not os.path.exists(path):
+        pytest.skip("reference mesh missing")
+    v, f = load_obj(path)
+    assert v.shape[0] > 100 and f.shape[0] > 100
+    assert f.max() < v.shape[0]
