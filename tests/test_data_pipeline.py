@@ -137,7 +137,7 @@ def test_canonicalize_roundtrip():
 
     # inverse round-trip
     back = decanonicalize_points(kp2, R0, t0)
-    np.testing.assert_allclose(back[:3], kp3d[:3], atol=1e-10)
+    np.testing.assert_allclose(back[:3], kp3d[:3], atol=1e-5)  # f32 R0
     np.testing.assert_array_equal(back[3], 0.0)
 
 
