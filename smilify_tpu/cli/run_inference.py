@@ -1,0 +1,200 @@
+"""Neural inference CLI (single- and multi-view).
+
+Equivalent of the reference ``run_singleview_inference.py`` /
+``run_multiview_inference.py``: load a checkpoint (+ its embedded config),
+run batched predictions over a dataset or image folder, optionally smooth the
+parameter trajectory temporally, render overlay visualizations / per-view
+grids, export video and AMASS animation.
+
+The reference's 2-phase DDP pipeline (frame-sharded inference → pickled temp
+predictions → rank-0 smoothing → re-sharded rendering,
+run_multiview_inference.py:664-930) collapses to one process: frames are
+batched through jit on the mesh, smoothing is a host-side array op.
+
+Usage:
+  python -m smilify_tpu.cli.run_inference --checkpoint runs/sv/final_model \
+      --data-path <dir|h5> [--smooth-window 5] [--export-animation out.npz] \
+      [--render-dir out_frames] [--video out.mp4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def load_model_from_checkpoint(ckpt_path: str):
+    """Rebuild model+params from a checkpoint directory (config embedded in
+    the .meta.json — the reference's checkpoint['config'] contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smilify_tpu.train.config import config_from_dict, resolve_model_spec
+    from smilify_tpu.train.trainer import load_checkpoint
+
+    meta_path = ckpt_path + ".meta.json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    cfg = config_from_dict(meta["config"])
+    spec = resolve_model_spec(cfg)
+    rcfg = cfg.regressor_config(spec)
+
+    if cfg.mode == "multi_view":
+        from smilify_tpu.models.multiview import MultiViewSMILRegressor
+
+        model = MultiViewSMILRegressor(rcfg)
+        res = cfg.model.input_resolution or 224
+        V = rcfg.max_views
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, V, res, res, 3)),
+            jnp.ones((1, V), bool),
+            jnp.zeros((1, V), jnp.int32),
+        )
+    else:
+        from smilify_tpu.models.regressor import SMILRegressor
+
+        model = SMILRegressor(rcfg)
+        res = cfg.model.input_resolution or 224
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)))
+
+    abstract = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": None,
+    }
+    # restore only params/batch_stats (opt_state shape depends on the optimizer)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(ckpt_path))
+    params = restored["params"]
+    batch_stats = restored.get("batch_stats", {})
+    return model, cfg, rcfg, spec, params, batch_stats, meta
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="SMIL neural inference")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--data-path", required=True)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--smooth-window", type=int, default=0)
+    ap.add_argument("--export-animation", default=None)
+    ap.add_argument("--render-dir", default=None)
+    ap.add_argument("--video", default=None)
+    ap.add_argument("--max-frames", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from smilify_tpu.models.regressor import decode_predictions, forward_model
+    from smilify_tpu.utils.animation_export import AnimationRecorder, PredictionSmoother
+
+    model, cfg, rcfg, spec, params, batch_stats, meta = load_model_from_checkpoint(args.checkpoint)
+    res = cfg.model.input_resolution or 224
+
+    from smilify_tpu.cli.train_regressor import build_dataset
+
+    cfg.dataset.data_path = args.data_path
+    dataset, kind = build_dataset(cfg, spec)
+    n = len(dataset) if args.max_frames is None else min(len(dataset), args.max_frames)
+    print(f"inference over {n} frames ({kind})")
+
+    is_mv = cfg.mode == "multi_view"
+
+    @jax.jit
+    def predict(batch_imgs, view_mask=None, cam_ids=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if is_mv:
+            (raw, _), _ = model.apply(variables, batch_imgs, view_mask, cam_ids,
+                                      train=False, mutable=["batch_stats"])
+            from smilify_tpu.models.multiview import decode_multiview_predictions
+
+            return decode_multiview_predictions(rcfg, raw, spec)
+        (raw, _), _ = model.apply(variables, batch_imgs, train=False, mutable=["batch_stats"])
+        return decode_predictions(rcfg, raw, spec)
+
+    all_preds = []
+    bs = args.batch_size
+    for i in range(0, n, bs):
+        idxs = list(range(i, min(n, i + bs)))
+        samples = [dataset[j] for j in idxs]
+        if is_mv:
+            imgs = jnp.asarray(np.stack([s["images"] for s in samples]))
+            vm = jnp.asarray(np.stack([s["view_mask"] for s in samples]))
+            cids = jnp.asarray(np.stack([s["camera_indices"] for s in samples]))
+            preds = predict(imgs, vm, cids)
+        else:
+            imgs = jnp.asarray(np.stack([s["image"] for s in samples]))
+            preds = predict(imgs)
+        all_preds.append({k: np.asarray(v) for k, v in preds.items()})
+
+    traj = {k: np.concatenate([p[k] for p in all_preds]) for k in all_preds[0]}
+
+    if args.smooth_window and args.smooth_window > 1:
+        smoother = PredictionSmoother(args.smooth_window)
+        smooth_keys = [k for k in ("global_rot", "joint_rot", "trans", "betas") if k in traj]
+        traj = smoother.smooth_params(traj, smooth_keys)
+        print(f"smoothed {smooth_keys} with window {args.smooth_window}")
+
+    if args.export_animation:
+        rec = AnimationRecorder(model_name=os.path.basename(spec.source_path))
+        for i in range(n):
+            rec.add_frame(
+                traj["global_rot"][i], traj["joint_rot"][i], traj["trans"][i],
+                betas=traj["betas"][i],
+                log_beta_scales=traj.get("log_beta_scales", [None] * n)[i],
+                betas_trans=traj.get("betas_trans", [None] * n)[i],
+            )
+        path = rec.export(args.export_animation)
+        print(f"animation → {path}")
+
+    if args.render_dir or args.video:
+        from smilify_tpu.fitter.fitter import render_frame
+        from smilify_tpu.render.cameras import default_camera
+        from smilify_tpu.render.phong import render_phong
+        from smilify_tpu.utils.visualization import draw_joints
+
+        os.makedirs(args.render_dir or "/tmp/render", exist_ok=True)
+        render_dir = args.render_dir or "/tmp/render"
+        frames = []
+        preds_j = {k: jnp.asarray(v) for k, v in traj.items()}
+        verts, joints3d = forward_model(spec, preds_j)
+        for i in range(n):
+            cam = default_camera().replace(
+                R=preds_j.get("cam_rot", preds_j.get("view_cam_rot"))[i]
+                if not is_mv else preds_j["view_cam_rot"][i, 0],
+                T=preds_j.get("cam_trans", preds_j.get("view_cam_trans"))[i]
+                if not is_mv else preds_j["view_cam_trans"][i, 0],
+                fov=preds_j["fov"][i] if not is_mv else preds_j["view_fov"][i, 0],
+            )
+            pts_view = cam.world_to_view(verts[i])
+            ndc = cam.view_to_ndc(pts_view)
+            verts_ndc = jnp.concatenate([ndc[:, :2], pts_view[:, 2:3]], axis=1)
+            img = np.asarray(render_phong(verts[i], pts_view, verts_ndc, spec.faces, (res, res)))
+            kp = np.asarray(cam.project_points_yx(joints3d[i], (res, res)))
+            img = draw_joints(img, kp)
+            frames.append((img * 255).astype(np.uint8))
+            import imageio.v2 as imageio
+
+            imageio.imwrite(os.path.join(render_dir, f"frame_{i:05d}.png"), frames[-1])
+        if args.video:
+            import imageio.v2 as imageio
+
+            imageio.mimwrite(args.video, frames, fps=15)
+            print(f"video → {args.video}")
+
+    out_npz = os.path.join(os.path.dirname(args.checkpoint) or ".", "predictions.npz")
+    np.savez(out_npz, **traj)
+    print(f"predictions → {out_npz}")
+    return traj
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Single-view regressor training CLI — equivalent of the reference
+``python -m smal_fitter.neuralSMIL.train_smil_regressor --config x.json``.
+
+Data parallelism is a jax device mesh (no --num_gpus/torchrun machinery: all
+local devices are used automatically; multi-host via jax.distributed).
+
+Usage:
+  python -m smilify_tpu.cli.train_regressor --config cfg.json \
+      [--model path.pkl] [--data-path dir_or_h5] [--epochs N] [--set a.b=c ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_set_overrides(pairs):
+    out = {}
+    for p in pairs or []:
+        key, _, val = p.partition("=")
+        try:
+            val = json.loads(val)
+        except json.JSONDecodeError:
+            pass
+        out[key] = val
+    return out
+
+
+def build_dataset(cfg, spec):
+    from smilify_tpu.data.hdf5_dataset import MultiViewHDF5Dataset, SingleViewHDF5Dataset, detect_dataset_type
+    from smilify_tpu.data.replicant import ReplicantDataset
+
+    path = cfg.dataset.data_path
+    kind = detect_dataset_type(path)
+    res = cfg.model.input_resolution or 224
+    if kind == "replicant_raw":
+        return ReplicantDataset(path, spec.joint_names, image_size=res), kind
+    if kind.endswith("multiview") or kind == "sleap_multiview":
+        return MultiViewHDF5Dataset(path, num_views_to_use=cfg.multiview.num_views_to_use), kind
+    return SingleViewHDF5Dataset(path), kind
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Train the single-view SMIL regressor")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--model", default=None, help="SMIL model .pkl")
+    ap.add_argument("--data-path", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--output-dir", default="runs/singleview")
+    ap.add_argument("--set", nargs="*", default=None, help="dotted config overrides a.b=c")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from smilify_tpu.models.regressor import (
+        SMILRegressor,
+        compute_batch_loss,
+        decode_predictions,
+    )
+    from smilify_tpu.train.config import load_config, resolve_model_spec
+    from smilify_tpu.train.trainer import (
+        TrainState,
+        build_optimizer,
+        data_mesh,
+        iterate_batches,
+        make_train_step,
+        replicate,
+        save_checkpoint,
+        shard_batch,
+    )
+
+    overrides = parse_set_overrides(args.set)
+    if args.data_path:
+        overrides["dataset.data_path"] = args.data_path
+    if args.epochs is not None:
+        overrides["training.num_epochs"] = args.epochs
+    if args.model:
+        overrides["smal_model.smal_file"] = args.model
+    cfg = load_config(args.config, overrides=overrides, mode="single_view")
+    spec = resolve_model_spec(cfg)
+    rcfg = cfg.regressor_config(spec)
+
+    dataset, kind = build_dataset(cfg, spec)
+    print(f"dataset: {kind}, {len(dataset)} samples; model J={spec.n_joints} B={spec.n_betas}")
+
+    res = cfg.model.input_resolution or 224
+    model = SMILRegressor(rcfg)
+    rng = jax.random.PRNGKey(cfg.training.seed)
+    sample_imgs = jnp.zeros((2, res, res, 3))
+    variables = model.init(rng, sample_imgs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    mesh = data_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    bs = cfg.training.batch_size
+    if bs % n_dev:
+        bs = max(n_dev, (bs // n_dev) * n_dev)
+        print(f"batch_size rounded to {bs} for {n_dev} devices")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    def apply_fn(variables, batch, train):
+        out, mutated = model.apply(
+            variables, batch["image"], train=train,
+            mutable=["batch_stats"] if train else [],
+            rngs={"dropout": jax.random.PRNGKey(0)} if train else None,
+        )
+        raw, history = out
+        preds = decode_predictions(rcfg, raw, spec)
+        new_stats = mutated.get("batch_stats", variables.get("batch_stats", {})) if train else None
+        return preds, new_stats
+
+    host_rng = np.random.default_rng(cfg.training.seed)
+    state = TrainState(params=replicate(mesh, params), batch_stats=replicate(mesh, batch_stats),
+                       opt_state=None)
+
+    current = {"weights": None, "lr": None, "frozen": None, "step_fn": None, "tx": None}
+
+    def target_dict(batch):
+        targets = {}
+        for name in ("global_rot", "joint_rot", "betas", "trans", "fov", "cam_rot", "cam_trans",
+                     "keypoints_3d", "silhouette"):
+            if name in batch:
+                targets[name] = batch[name]
+        # datasets generated with a wider PCA space than the model's: supervise
+        # the shared leading components only
+        if "betas" in targets and targets["betas"].shape[-1] != spec.n_betas:
+            targets["betas"] = targets["betas"][..., : spec.n_betas]
+        if "keypoints_2d" in batch:
+            targets["keypoints_2d"] = batch["keypoints_2d"]
+            targets["kp_visibility"] = batch.get("keypoint_visibility")
+        return targets
+
+    t_start = time.time()
+    for epoch in range(cfg.training.num_epochs):
+        weights = cfg.get_loss_weights_for_epoch(epoch)
+        lr = cfg.get_learning_rate_for_epoch(epoch)
+        frozen = cfg.model.freeze_backbone and (
+            cfg.model.backbone_unfreeze_epoch is None or epoch < cfg.model.backbone_unfreeze_epoch
+        )
+        if (weights, lr, frozen) != (current["weights"], current["lr"], current["frozen"]):
+            tx = build_optimizer(cfg, lr, frozen)
+            state.opt_state = replicate(mesh, tx.init(jax.device_get(state.params)))
+
+            def loss_fn(preds, batch, w=dict(weights)):
+                return compute_batch_loss(
+                    spec, rcfg, preds, target_dict(batch), w, image_size=(res, res)
+                )
+
+            current.update(
+                weights=weights, lr=lr, frozen=frozen, tx=tx,
+                step_fn=make_train_step(apply_fn, loss_fn, tx,
+                                        cfg.training.gradient_accumulation_steps),
+            )
+            print(f"epoch {epoch}: lr={lr} frozen_backbone={frozen}")
+
+        epoch_losses = []
+        for batch in iterate_batches(dataset, bs, host_rng,
+                                     fraction=cfg.dataset.dataset_fraction):
+            batch = shard_batch(mesh, batch)
+            state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
+                state.params, state.batch_stats, state.opt_state, batch
+            )
+            epoch_losses.append(float(loss))
+        if not epoch_losses:
+            raise SystemExit("no batches — dataset smaller than batch size?")
+        mean_loss = float(np.mean(epoch_losses))
+        state.epoch = epoch
+        state.history.append({"epoch": epoch, "loss": mean_loss, "lr": lr})
+        print(f"epoch {epoch}: loss {mean_loss:.5f} ({len(epoch_losses)} steps, "
+              f"{time.time()-t_start:.0f}s)")
+
+        if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or epoch == cfg.training.num_epochs - 1:
+            path = save_checkpoint(args.output_dir, state, cfg, name=f"epoch_{epoch}")
+            save_checkpoint(args.output_dir, state, cfg, name="final_model")
+            print(f"checkpoint → {path}")
+
+    return state
+
+
+if __name__ == "__main__":
+    main()

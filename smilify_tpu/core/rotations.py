@@ -47,11 +47,15 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def axis_angle_to_matrix(theta: jnp.ndarray) -> jnp.ndarray:
-    """Numerically clean Rodrigues with a Taylor fallback near zero angle."""
-    angle = jnp.linalg.norm(theta, axis=-1, keepdims=True)
-    small = angle < 1e-6
-    safe_angle = jnp.where(small, 1.0, angle)
+    """Numerically clean Rodrigues with a Taylor fallback near zero angle.
+
+    Uses the double-where pattern so gradients stay finite at theta = 0."""
+    norm_sq = jnp.sum(theta * theta, axis=-1, keepdims=True)
+    small = norm_sq < 1e-12
+    angle = jnp.sqrt(jnp.where(small, 1.0, norm_sq))
+    safe_angle = angle
     r = jnp.where(small, jnp.zeros_like(theta), theta / safe_angle)
+    angle = jnp.where(small, 0.0, angle)
     cos = jnp.cos(angle)[..., None]
     sin = jnp.sin(angle)[..., None]
     outer = r[..., :, None] * r[..., None, :]
@@ -103,10 +107,14 @@ def matrix_to_quaternion(R: jnp.ndarray) -> jnp.ndarray:
 def quaternion_to_axis_angle(q: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     xyz = q[..., 1:]
-    sin_half = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    # double-where: the norm's gradient at 0 is 0/0 and would leak NaN through
+    # a single where (identity rotations are the HEAD INIT, so this is hot)
+    norm_sq = jnp.sum(xyz * xyz, axis=-1, keepdims=True)
+    small = norm_sq < eps * eps
+    safe_norm_sq = jnp.where(small, 1.0, norm_sq)
+    sin_half = jnp.sqrt(safe_norm_sq)
     angle = 2.0 * jnp.arctan2(sin_half[..., 0], w)[..., None]
-    small = sin_half < eps
-    axis = jnp.where(small, jnp.zeros_like(xyz), xyz / jnp.where(small, 1.0, sin_half))
+    axis = xyz / sin_half
     # tiny angles: aa ≈ 2*xyz (first-order)
     return jnp.where(small, 2.0 * xyz, axis * angle)
 

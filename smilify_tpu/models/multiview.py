@@ -227,8 +227,8 @@ def project_through_view_cameras(preds, points, image_size):
 
     def one_view(R, T, fov, pts):
         cam = default_camera().replace(R=R, T=T, fov=fov)
-        yx = cam.project_points_yx(pts, (H, W))
-        return yx / jnp.asarray([H, W], dtype=yx.dtype)
+        yx = cam.project_points_yx(pts, (H, W), eps=1e-4)
+        return jnp.nan_to_num(jnp.clip(yx / jnp.asarray([H, W], dtype=yx.dtype), -10.0, 10.0))
 
     def one_sample(Rs, Ts, fovs, pts):
         return jax.vmap(lambda R, T, f: one_view(R, T, f, pts))(Rs, Ts, fovs)

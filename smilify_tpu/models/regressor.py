@@ -216,10 +216,13 @@ def project_to_camera(
 
     def one(R, T, fov, pts):
         cam = default_camera().replace(R=R, T=T, fov=fov)
-        yx = cam.project_points_yx(pts, (H, W))
+        # eps guards against points at the camera plane (reference nan_to_num
+        # guards, smil_image_regressor.py:2597-2632)
+        yx = cam.project_points_yx(pts, (H, W), eps=1e-4)
         return yx / jnp.asarray([H, W], dtype=yx.dtype)
 
-    return jax.vmap(one)(preds["cam_rot"], preds["cam_trans"], preds["fov"], points)
+    out = jax.vmap(one)(preds["cam_rot"], preds["cam_trans"], preds["fov"], points)
+    return jnp.nan_to_num(jnp.clip(out, -10.0, 10.0))
 
 
 # ---------------------------------------------------------------------------

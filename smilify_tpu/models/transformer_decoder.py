@@ -32,6 +32,10 @@ def identity_init_for_group(name: str, dim: int, n_pose: int = 0) -> np.ndarray:
         return np.eye(3, dtype=np.float32).reshape(-1)
     if name == "fov" and dim == 1:
         return np.asarray([60.0], dtype=np.float32)
+    if name == "cam_trans" and dim == 3:
+        # start at the default camera distance, NOT at the model's origin —
+        # a camera inside the mesh makes the projection losses blow up
+        return np.asarray([0.0, 0.0, 2.7], dtype=np.float32)
     return np.zeros(dim, dtype=np.float32)
 
 
