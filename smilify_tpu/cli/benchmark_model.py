@@ -1,0 +1,107 @@
+"""Model benchmark CLI — equivalent of the reference
+``python -m smal_fitter.neuralSMIL.benchmark_model --checkpoint … --dataset_path …``.
+
+Auto-detects single/multi-view from the checkpoint, evaluates PCK@1..50px at
+input (and native, when stored) resolution plus MPJPE (mm) for 3D-GT datasets,
+and writes benchmark_report.txt, PCK curves, error histograms, and raw .npy
+error arrays (reference output contract README.md:306-340).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Benchmark a trained SMIL regressor")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--dataset-path", required=True)
+    ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--max-samples", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from smilify_tpu.cli.run_inference import load_model_from_checkpoint
+    from smilify_tpu.data.combined import open_dataset
+    from smilify_tpu.models.regressor import forward_model, project_to_camera
+    from smilify_tpu.train.benchmark import BenchmarkAccumulator
+
+    model, cfg, rcfg, spec, params, batch_stats, meta = load_model_from_checkpoint(args.checkpoint)
+    out_dir = args.output_dir or os.path.join(os.path.dirname(args.checkpoint) or ".", "benchmark")
+    res = cfg.model.input_resolution or 224
+    is_mv = cfg.mode == "multi_view"
+
+    dataset = open_dataset(args.dataset_path, joint_names=spec.joint_names,
+                           image_size=res if not args.dataset_path.endswith(".h5") else None)
+    n = len(dataset) if args.max_samples is None else min(len(dataset), args.max_samples)
+    print(f"benchmarking {n} samples ({'multi' if is_mv else 'single'}-view)")
+
+    acc = BenchmarkAccumulator()
+
+    @jax.jit
+    def predict_sv(imgs):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (raw, _), _ = model.apply(variables, imgs, train=False, mutable=["batch_stats"])
+        from smilify_tpu.models.regressor import decode_predictions
+
+        preds = decode_predictions(rcfg, raw, spec)
+        verts, joints3d = forward_model(spec, preds)
+        kp2d = project_to_camera(preds, joints3d, (res, res))
+        return kp2d, joints3d
+
+    @jax.jit
+    def predict_mv(imgs, vm, cids):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (raw, _), _ = model.apply(variables, imgs, vm, cids, train=False, mutable=["batch_stats"])
+        from smilify_tpu.models.multiview import (
+            decode_multiview_predictions,
+            project_through_view_cameras,
+        )
+
+        preds = decode_multiview_predictions(rcfg, raw, spec)
+        verts, joints3d = forward_model(spec, preds)
+        kp2d = project_through_view_cameras(preds, joints3d, (res, res))
+        return kp2d, joints3d
+
+    bs = args.batch_size
+    for i in range(0, n, bs):
+        samples = [dataset[j] for j in range(i, min(n, i + bs))]
+        if is_mv:
+            imgs = jnp.asarray(np.stack([s["images"] for s in samples]))
+            vm = jnp.asarray(np.stack([s["view_mask"] for s in samples]))
+            cids = jnp.asarray(np.stack([s["camera_indices"] for s in samples]))
+            kp_pred, j3d_pred = predict_mv(imgs, vm, cids)
+            gt2d = np.stack([s["keypoints_2d"] for s in samples]) / res
+            vis = np.stack([s["keypoint_visibility"] for s in samples])
+            vis = vis * np.stack([s["view_mask"] for s in samples])[..., None]
+            acc.add_2d(np.asarray(kp_pred), gt2d, vis, res)
+            has3d = np.array([s.get("has_3d_data", False) for s in samples])
+            if has3d.any():
+                gt3d = np.stack([s["keypoints_3d"] for s in samples])
+                acc.add_3d(np.asarray(j3d_pred)[has3d], gt3d[has3d])
+        else:
+            imgs = jnp.asarray(np.stack([s["image"] for s in samples]))
+            kp_pred, j3d_pred = predict_sv(imgs)
+            gt2d = np.stack([s["keypoints_2d"] for s in samples])
+            vis = np.stack([s["keypoint_visibility"] for s in samples])
+            acc.add_2d(np.asarray(kp_pred), gt2d, vis, res)
+            if all("keypoints_3d" in s for s in samples):
+                gt3d = np.stack([s["keypoints_3d"] for s in samples])
+                acc.add_3d(np.asarray(j3d_pred), gt3d)
+
+    report = acc.write_report(out_dir, title=f"benchmark: {args.checkpoint}")
+    print(report)
+    print(f"→ {out_dir}")
+    return acc
+
+
+if __name__ == "__main__":
+    main()

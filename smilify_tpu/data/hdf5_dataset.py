@@ -223,7 +223,7 @@ class MultiViewHDF5Dataset:
             self.max_views = int(m["max_views"])
             self.n_joints = int(m["n_joints"])
             self.target_resolution = int(m.get("target_resolution", 224))
-            self.metadata = {k: (v.item() if hasattr(v, "item") else v) for k, v in m.items()}
+            self.metadata = {k: (v.item() if getattr(v, "size", 2) == 1 else v) for k, v in m.items()}
             # world-scale heuristic: camera translations with ‖t‖>50 are mm →
             # convert to meters (reference sleap_multiview_dataset.py:143-175)
             t = f["multiview_keypoints/camera_extrinsics_t"][: min(64, self.num_samples)]
@@ -344,7 +344,7 @@ class SingleViewHDF5Dataset:
             self.num_samples = int(m["num_samples"])
             self.n_joints = int(m.get("n_joints", 0))
             self.target_resolution = int(m.get("target_resolution", 224))
-            self.metadata = {k: (v.item() if hasattr(v, "item") else v) for k, v in m.items()}
+            self.metadata = {k: (v.item() if getattr(v, "size", 2) == 1 else v) for k, v in m.items()}
 
     @property
     def file(self):
