@@ -1,0 +1,134 @@
+"""Raw SLEAP session reading — host-side numpy (no sleap package).
+
+Equivalent of the reference root ``sleap_data_loader.py``: read 2D pose
+predictions from SLEAP exports and locate session videos. Two formats:
+  * analysis ``.h5`` (SLEAP "Export Analysis HDF5"): datasets ``tracks``
+    (n_tracks, 2, n_nodes, n_frames), ``node_names``, ``point_scores``;
+  * native ``.slp`` (best effort): the ``pred_points`` / ``points`` structured
+    tables with ``frames``/``instances`` indices.
+
+Both return (points (F, K, 2) pixel xy, scores (F, K), node_names) for the
+first track/instance per frame — the convention the preprocessors consume.
+Video frame decode goes through cv2.VideoCapture.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def read_sleap_analysis_h5(path: str, track: int = 0):
+    """Analysis-HDF5 export → (points (F, K, 2), scores (F, K), node_names)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        tracks = f["tracks"][:]  # (n_tracks, 2, n_nodes, n_frames)
+        node_names = [n.decode() if isinstance(n, bytes) else str(n) for n in f["node_names"][:]]
+        scores = f["point_scores"][:] if "point_scores" in f else None
+
+    if tracks.ndim != 4:
+        raise ValueError(f"unexpected tracks shape {tracks.shape}")
+    t = tracks[track]  # (2, n_nodes, n_frames)
+    points = np.transpose(t, (2, 1, 0))  # (F, K, 2) xy
+    if scores is not None:
+        s = scores[track] if scores.ndim == 3 else scores
+        s = np.transpose(s, (1, 0)) if s.shape[0] != points.shape[0] else s
+    else:
+        s = np.where(np.isfinite(points).all(axis=-1), 1.0, 0.0)
+    return points, s.astype(np.float32), node_names
+
+
+def read_slp(path: str):
+    """Native .slp (best effort) → (points (F, K, 2), scores (F, K), node_names).
+
+    Reads the HDF5 tables SLEAP stores: frames, instances, pred_points, and
+    the node names from the JSON metadata attribute. One instance per frame
+    (the first) is returned, matching the reference's single-subject sessions.
+    """
+    import h5py
+    import json
+
+    with h5py.File(path, "r") as f:
+        meta = json.loads(f["metadata"].attrs["json"]) if "metadata" in f else {}
+        skel = (meta.get("skeletons") or [{}])[0]
+        node_ids = [n.get("id") for n in skel.get("nodes", [])]
+        name_map = {}
+        for link in meta.get("nodes", []):
+            name_map[link.get("id")] = link.get("name", str(link.get("id")))
+        node_names = [name_map.get(i, str(i)) for i in node_ids]
+
+        frames = f["frames"][:]
+        instances = f["instances"][:]
+        pts_table = f["pred_points"][:] if "pred_points" in f else f["points"][:]
+
+    K = len(node_names) if node_names else int(
+        np.max(instances["point_id_end"] - instances["point_id_start"])
+    )
+    F = len(frames)
+    points = np.full((F, K, 2), np.nan, np.float64)
+    scores = np.zeros((F, K), np.float32)
+
+    inst_by_frame = {}
+    for inst in instances:
+        fid = int(inst["frame_id"])
+        if fid not in inst_by_frame:
+            inst_by_frame[fid] = inst
+
+    for i, fr in enumerate(frames):
+        inst = inst_by_frame.get(int(fr["frame_id"]))
+        if inst is None:
+            continue
+        lo, hi = int(inst["point_id_start"]), int(inst["point_id_end"])
+        pts = pts_table[lo:hi]
+        n = min(K, len(pts))
+        points[i, :n, 0] = pts["x"][:n]
+        points[i, :n, 1] = pts["y"][:n]
+        if "score" in pts.dtype.names:
+            scores[i, :n] = pts["score"][:n]
+        else:
+            scores[i, :n] = np.where(np.isfinite(points[i, :n]).all(axis=-1), 1.0, 0.0)
+    return points, scores, node_names
+
+
+def read_sleap_predictions(path: str):
+    """Dispatch on extension (.h5 analysis export vs native .slp)."""
+    if path.endswith(".slp"):
+        return read_slp(path)
+    return read_sleap_analysis_h5(path)
+
+
+def find_session_layout(session_dir: str) -> dict:
+    """Locate per-camera prediction files + videos in a session directory.
+
+    Supports the reference's two layouts: flat (<cam>.{slp,h5} + <cam>.mp4
+    side by side) and nested (<session>/<cam>/...)."""
+    out = {}
+    for root, _dirs, files in os.walk(session_dir):
+        for fn in files:
+            base, ext = os.path.splitext(fn)
+            if ext in (".slp", ".h5") and "calibration" not in fn and "points3d" not in fn:
+                cam = base.split(".")[0]
+                entry = out.setdefault(cam, {})
+                entry["predictions"] = os.path.join(root, fn)
+            elif ext in (".mp4", ".avi", ".mov"):
+                cam = base.split(".")[0]
+                entry = out.setdefault(cam, {})
+                entry["video"] = os.path.join(root, fn)
+    return out
+
+
+def read_video_frame(video_path: str, frame_idx: int) -> Optional[np.ndarray]:
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    try:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+        ok, frame = cap.read()
+        if not ok:
+            return None
+        return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+    finally:
+        cap.release()
