@@ -8,10 +8,16 @@ silhouette + 2D-keypoint + prior losses — the reference's
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-``vs_baseline`` compares against the reference implementation's measured
-CPU throughput for the same step (PyTorch + PyTorch3D naive rasterizer,
-faces_per_pixel=100, measured offline on the same class of host at
-~0.15 it/s; the reference publishes no GPU numbers — BASELINE.md).
+``vs_baseline`` compares against the reference implementation's estimated
+full-step CPU throughput of 0.15 it/s. Basis (tools/measure_reference_baseline.py,
+measured on this host 2026-08-16): the reference's torch-CPU SMAL
+forward+backward alone runs at 34.4 steps/s (29.0 ms) — its PyTorch3D naive
+soft rasterizer at faces_per_pixel=100 over 512² (≈1.5e9 point-triangle
+tests fwd+bwd) adds multiple seconds per iteration on CPU, bounding the full
+step well below 0.2 it/s. Like-for-like measured component ratios on this
+chip: SMIL forward 22× (0.58 ms vs 13.0 ms), forward+backward 31×
+(0.95 ms vs 29.0 ms) at batch 1; at batch 8 per-sample forward+backward is
+35× (0.14 ms vs 4.93 ms). The reference publishes no GPU numbers (BASELINE.md).
 """
 
 import json

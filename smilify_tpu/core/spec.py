@@ -86,22 +86,49 @@ def _normalize_parents(kintree_row: np.ndarray, n_joints: int) -> np.ndarray:
     return parents.astype(np.int32)
 
 
+def _morton_order(centroids: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Spatial sort of face centroids along a Morton (Z-order) curve.
+
+    Faces that are close in space end up close in memory, which tightens the
+    per-chunk bounding boxes the Pallas rasterizer culls against."""
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    q = ((centroids - lo) / np.maximum(hi - lo, 1e-12) * (2**bits - 1)).astype(np.uint64)
+
+    def spread(x):
+        x &= np.uint64((1 << bits) - 1)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x030000FF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x0300F00F)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x030C30C3)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) | (spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
+
+
 def load_model_spec(
     path: str,
     *,
     align_symmetry: bool = True,
+    spatial_sort_faces: bool = True,
     dtype=jnp.float32,
 ) -> ModelSpec:
     """Load a ``.pkl`` model asset into a :class:`ModelSpec`.
 
     ``align_symmetry=False`` reproduces the reference's ``ignore_sym=True``
     default for custom models (config.py:52): the template is used as-is.
+    ``spatial_sort_faces`` reorders the (semantically order-free) face list
+    along a Morton curve for rasterizer cull locality.
     """
     dd = load_raw_model(path)
 
     v_template = np.asarray(dd["v_template"], dtype=np.float64)
     faces = np.asarray(dd["f"], dtype=np.int32)
     V = v_template.shape[0]
+    if spatial_sort_faces and len(faces):
+        centroids = v_template[faces].mean(axis=1)
+        faces = faces[_morton_order(centroids)]
 
     left_inds = right_inds = center_inds = np.empty(0, dtype=int)
     if align_symmetry:

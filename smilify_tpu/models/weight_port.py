@@ -1,0 +1,172 @@
+"""Pretrained-backbone weight porting (torch → flax).
+
+The reference uses torchvision/timm pretrained backbones; this environment has
+no network access and no torchvision/timm, so porting is a two-step offline
+flow:
+
+1. On a machine with torch + torchvision/timm, dump a state dict to npz:
+     python -m smilify_tpu.models.weight_port dump --arch resnet50 --out r50.npz
+   (or save any ``{name: tensor}`` dict with numpy — the converter only needs
+   the standard parameter names.)
+2. Here, convert + load:
+     params = load_ported_resnet(npz_path, flax_params)
+     params = load_ported_vit(npz_path, flax_params)
+
+Conversions: conv kernels OIHW→HWIO, linear kernels transpose, batchnorm
+weight/bias/running_* → scale/bias/mean/var; ViT qkv splits into flax's
+separate query/key/value heads.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _conv(w):  # OIHW → HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _lin(w):  # (out, in) → (in, out)
+    return np.transpose(w)
+
+
+def load_ported_resnet(npz_path: str, flax_params: Dict) -> Dict:
+    """Map torchvision ResNet-v1 names onto our ResNet module tree.
+
+    Our module tree: Conv_0/BatchNorm_0 stem; Bottleneck_{i} blocks in stage
+    order with Conv_0..2 (+ Conv_3/BatchNorm_3 for downsample).
+    """
+    import jax
+
+    sd = dict(np.load(npz_path))
+    params = jax.tree_util.tree_map(lambda x: x, flax_params)  # copy
+
+    # stem
+    params["Conv_0"]["kernel"] = _conv(sd["conv1.weight"])
+    bn = params["BatchNorm_0"]
+    bn["scale"] = sd["bn1.weight"]
+    bn["bias"] = sd["bn1.bias"]
+
+    # blocks: torchvision names layer{L}.{b}.conv{k}/bn{k} + downsample
+    block_idx = 0
+    L = 1
+    while f"layer{L}.0.conv1.weight" in sd:
+        b = 0
+        while f"layer{L}.{b}.conv1.weight" in sd:
+            prefix = f"layer{L}.{b}"
+            blk = params[f"Bottleneck_{block_idx}"]
+            for k in range(1, 4):
+                blk[f"Conv_{k-1}"]["kernel"] = _conv(sd[f"{prefix}.conv{k}.weight"])
+                blk[f"BatchNorm_{k-1}"]["scale"] = sd[f"{prefix}.bn{k}.weight"]
+                blk[f"BatchNorm_{k-1}"]["bias"] = sd[f"{prefix}.bn{k}.bias"]
+            if f"{prefix}.downsample.0.weight" in sd:
+                blk["Conv_3"]["kernel"] = _conv(sd[f"{prefix}.downsample.0.weight"])
+                blk["BatchNorm_3"]["scale"] = sd[f"{prefix}.downsample.1.weight"]
+                blk["BatchNorm_3"]["bias"] = sd[f"{prefix}.downsample.1.bias"]
+            block_idx += 1
+            b += 1
+        L += 1
+    return params
+
+
+def port_resnet_batch_stats(npz_path: str, flax_batch_stats: Dict) -> Dict:
+    import jax
+
+    sd = dict(np.load(npz_path))
+    stats = jax.tree_util.tree_map(lambda x: x, flax_batch_stats)
+    stats["BatchNorm_0"]["mean"] = sd["bn1.running_mean"]
+    stats["BatchNorm_0"]["var"] = sd["bn1.running_var"]
+    block_idx = 0
+    L = 1
+    while f"layer{L}.0.bn1.running_mean" in sd:
+        b = 0
+        while f"layer{L}.{b}.bn1.running_mean" in sd:
+            prefix = f"layer{L}.{b}"
+            blk = stats[f"Bottleneck_{block_idx}"]
+            for k in range(1, 4):
+                blk[f"BatchNorm_{k-1}"]["mean"] = sd[f"{prefix}.bn{k}.running_mean"]
+                blk[f"BatchNorm_{k-1}"]["var"] = sd[f"{prefix}.bn{k}.running_var"]
+            if f"{prefix}.downsample.1.running_mean" in sd:
+                blk["BatchNorm_3"]["mean"] = sd[f"{prefix}.downsample.1.running_mean"]
+                blk["BatchNorm_3"]["var"] = sd[f"{prefix}.downsample.1.running_var"]
+            block_idx += 1
+            b += 1
+        L += 1
+    return stats
+
+
+def load_ported_vit(npz_path: str, flax_params: Dict) -> Dict:
+    """Map timm ViT names onto our ViT module tree (TransformerBlock_{i})."""
+    import jax
+
+    sd = dict(np.load(npz_path))
+    params = jax.tree_util.tree_map(lambda x: x, flax_params)
+
+    params["patch_embed"]["kernel"] = _conv(sd["patch_embed.proj.weight"])
+    params["patch_embed"]["bias"] = sd["patch_embed.proj.bias"]
+    params["cls_token"] = sd["cls_token"].reshape(params["cls_token"].shape)
+    pos = sd["pos_embed"]
+    if pos.shape != params["pos_embed"].shape:
+        raise ValueError(f"pos_embed shape mismatch {pos.shape} vs {params['pos_embed'].shape} "
+                         "(different input resolution — interpolate offline)")
+    params["pos_embed"] = pos
+    params["norm"]["scale"] = sd["norm.weight"]
+    params["norm"]["bias"] = sd["norm.bias"]
+
+    i = 0
+    while f"blocks.{i}.attn.qkv.weight" in sd:
+        blk = params[f"TransformerBlock_{i}"]
+        dim = sd[f"blocks.{i}.attn.qkv.weight"].shape[1]
+        heads = blk["MultiHeadDotProductAttention_0"]["query"]["kernel"].shape[1]
+        head_dim = dim // heads
+        qkv_w = sd[f"blocks.{i}.attn.qkv.weight"]  # (3*dim, dim)
+        qkv_b = sd[f"blocks.{i}.attn.qkv.bias"]
+        for j, name in enumerate(("query", "key", "value")):
+            w = qkv_w[j * dim : (j + 1) * dim].T.reshape(dim, heads, head_dim)
+            b = qkv_b[j * dim : (j + 1) * dim].reshape(heads, head_dim)
+            blk["MultiHeadDotProductAttention_0"][name]["kernel"] = w
+            blk["MultiHeadDotProductAttention_0"][name]["bias"] = b
+        proj_w = sd[f"blocks.{i}.attn.proj.weight"]  # (dim, dim)
+        blk["MultiHeadDotProductAttention_0"]["out"]["kernel"] = proj_w.T.reshape(heads, head_dim, dim)
+        blk["MultiHeadDotProductAttention_0"]["out"]["bias"] = sd[f"blocks.{i}.attn.proj.bias"]
+        blk["LayerNorm_0"]["scale"] = sd[f"blocks.{i}.norm1.weight"]
+        blk["LayerNorm_0"]["bias"] = sd[f"blocks.{i}.norm1.bias"]
+        blk["LayerNorm_1"]["scale"] = sd[f"blocks.{i}.norm2.weight"]
+        blk["LayerNorm_1"]["bias"] = sd[f"blocks.{i}.norm2.bias"]
+        blk["Dense_0"]["kernel"] = _lin(sd[f"blocks.{i}.mlp.fc1.weight"])
+        blk["Dense_0"]["bias"] = sd[f"blocks.{i}.mlp.fc1.bias"]
+        blk["Dense_1"]["kernel"] = _lin(sd[f"blocks.{i}.mlp.fc2.weight"])
+        blk["Dense_1"]["bias"] = sd[f"blocks.{i}.mlp.fc2.bias"]
+        i += 1
+    return params
+
+
+def _dump_cli():
+    """Dump a torchvision/timm state dict to npz (run where torch exists)."""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["dump"])
+    ap.add_argument("--arch", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    import torch
+
+    if args.arch.startswith("resnet"):
+        import torchvision.models as tvm
+
+        model = getattr(tvm, args.arch)(weights="IMAGENET1K_V2")
+    else:
+        import timm
+
+        model = timm.create_model(args.arch, pretrained=True)
+    sd = {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+    np.savez(args.out, **sd)
+    print(f"dumped {len(sd)} tensors → {args.out}")
+
+
+if __name__ == "__main__":
+    _dump_cli()

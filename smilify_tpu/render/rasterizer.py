@@ -119,16 +119,18 @@ def _fwd_kernel(mask_ref, face_ref, S_ref, *, H, W, n_tx, n_chunks, inv_sigma):
     def _():
         S_ref[:] = jnp.zeros_like(S_ref)
 
-    @pl.when(mask_ref[t * n_chunks + c] > 0)
+    bits = mask_ref[t * n_chunks + c]
+
+    @pl.when(bits > 0)
     def _():
         px, py = _pixel_coords(t, n_tx, H, W, S_ref.dtype)
-        acc = jnp.zeros((1, TILE_PIX), dtype=S_ref.dtype)
         for g in range(N_GROUPS):
-            ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, g)
-            d, _ = _signed_distance(px, py, ax, ay, bx, by, cx, cy)  # (8, TILE_PIX)
-            contrib = valid * jax.nn.softplus(-d * inv_sigma)
-            acc = acc + jnp.sum(contrib, axis=0, keepdims=True)
-        S_ref[:] += acc[None]
+            @pl.when((bits >> g) & 1 > 0)
+            def _(g=g):
+                ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, g)
+                d, _ = _signed_distance(px, py, ax, ay, bx, by, cx, cy)  # (8, TILE_PIX)
+                contrib = valid * jax.nn.softplus(-d * inv_sigma)
+                S_ref[:] += jnp.sum(contrib, axis=0, keepdims=True)[None]
 
 
 def _fwd_pallas(face_data, tile_mask_flat, H, W, sigma, interpret=False):
@@ -175,41 +177,46 @@ def _bwd_kernel(mask_ref, face_ref, g_ref, dface_ref, *, H, W, n_tx, n_chunks, i
     def _():
         dface_ref[:] = jnp.zeros_like(dface_ref)
 
-    @pl.when(mask_ref[t * n_chunks + c] > 0)
+    bits = mask_ref[t * n_chunks + c]
+
+    @pl.when(bits > 0)
     def _():
         px, py = _pixel_coords(t, n_tx, H, W, g_ref.dtype)
         G = g_ref[0]  # (1, TILE_PIX)
 
         for g in range(N_GROUPS):
-            ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, g)
-            d, aux = _signed_distance(px, py, ax, ay, bx, by, cx, cy)
-            (d1, t1, r1x, r1y, d2, t2, r2x, r2y, d3, t3, r3x, r3y, dmin, sign) = aux
+            @pl.when((bits >> g) & 1 > 0)
+            def _(g=g):
+                ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, g)
+                d, aux = _signed_distance(px, py, ax, ay, bx, by, cx, cy)
+                (d1, t1, r1x, r1y, d2, t2, r2x, r2y, d3, t3, r3x, r3y, dmin, sign) = aux
 
-            # dS/d(d_signed) = −sigmoid(−d/σ)/σ; chain with sign for dmin
-            w = G * valid * jax.nn.sigmoid(-d * inv_sigma) * (-inv_sigma) * sign
+                # dS/d(d_signed) = −sigmoid(−d/σ)/σ; chain with sign for dmin
+                w = G * valid * jax.nn.sigmoid(-d * inv_sigma) * (-inv_sigma) * sign
 
-            e1 = jnp.logical_and(d1 <= d2, d1 <= d3)
-            e2 = jnp.logical_and(~e1, d2 <= d3)
-            e3 = jnp.logical_and(~e1, ~e2)
-            f1 = jnp.where(e1, w, 0.0)
-            f2 = jnp.where(e2, w, 0.0)
-            f3 = jnp.where(e3, w, 0.0)
+                e1 = jnp.logical_and(d1 <= d2, d1 <= d3)
+                e2 = jnp.logical_and(~e1, d2 <= d3)
+                e3 = jnp.logical_and(~e1, ~e2)
+                f1 = jnp.where(e1, w, 0.0)
+                f2 = jnp.where(e2, w, 0.0)
+                f3 = jnp.where(e3, w, 0.0)
 
-            # point-segment grads at optimal t (envelope): residual r = p−u−t(v−u)
-            # ∂d/∂u = −2(1−t)r ; ∂d/∂v = −2t·r — reduce over the 1024 pixels
-            def rsum(x):
-                return jnp.sum(x, axis=1, keepdims=True)  # (8, 1)
+                # point-segment grads at optimal t (envelope): r = p−u−t(v−u)
+                # ∂d/∂u = −2(1−t)r ; ∂d/∂v = −2t·r — reduce over the 1024 pixels
+                def rsum(x):
+                    return jnp.sum(x, axis=1, keepdims=True)  # (8, 1)
 
-            gax = rsum(f1 * (-2.0) * (1.0 - t1) * r1x + f3 * (-2.0) * t3 * r3x)
-            gay = rsum(f1 * (-2.0) * (1.0 - t1) * r1y + f3 * (-2.0) * t3 * r3y)
-            gbx = rsum(f1 * (-2.0) * t1 * r1x + f2 * (-2.0) * (1.0 - t2) * r2x)
-            gby = rsum(f1 * (-2.0) * t1 * r1y + f2 * (-2.0) * (1.0 - t2) * r2y)
-            gcx = rsum(f2 * (-2.0) * t2 * r2x + f3 * (-2.0) * (1.0 - t3) * r3x)
-            gcy = rsum(f2 * (-2.0) * t2 * r2y + f3 * (-2.0) * (1.0 - t3) * r3y)
-            grad8 = jnp.concatenate(
-                [gax, gay, gbx, gby, gcx, gcy, jnp.zeros_like(gax), jnp.zeros_like(gax)], axis=1
-            )  # (8, 8) — attrs in columns, zero for valid/pad slots
-            dface_ref[0, g * FACE_GROUP:(g + 1) * FACE_GROUP, :] += grad8
+                gax = rsum(f1 * (-2.0) * (1.0 - t1) * r1x + f3 * (-2.0) * t3 * r3x)
+                gay = rsum(f1 * (-2.0) * (1.0 - t1) * r1y + f3 * (-2.0) * t3 * r3y)
+                gbx = rsum(f1 * (-2.0) * t1 * r1x + f2 * (-2.0) * (1.0 - t2) * r2x)
+                gby = rsum(f1 * (-2.0) * t1 * r1y + f2 * (-2.0) * (1.0 - t2) * r2y)
+                gcx = rsum(f2 * (-2.0) * t2 * r2x + f3 * (-2.0) * (1.0 - t3) * r3x)
+                gcy = rsum(f2 * (-2.0) * t2 * r2y + f3 * (-2.0) * (1.0 - t3) * r3y)
+                grad8 = jnp.concatenate(
+                    [gax, gay, gbx, gby, gcx, gcy, jnp.zeros_like(gax), jnp.zeros_like(gax)],
+                    axis=1,
+                )  # (8, 8) — attrs in columns, zero for valid/pad slots
+                dface_ref[0, g * FACE_GROUP:(g + 1) * FACE_GROUP, :] += grad8
 
 
 def _bwd_pallas(face_data, tile_mask_flat, gS, H, W, sigma, interpret=False):
@@ -259,7 +266,10 @@ def _pack_faces(tri_xy: jnp.ndarray, valid: jnp.ndarray):
 
 
 def _tile_cull_mask(tri_xy, valid, H, W, sigma):
-    """(n_tiles · n_chunks,) int32 flat mask: does chunk c touch tile t?"""
+    """(n_tiles · n_chunks,) int32: bit g set ⇔ face-subgroup g of chunk c
+    touches tile t (+blur margin). Culling is hierarchical: the kernel skips a
+    whole chunk when the word is 0 and individual 8-face subgroups otherwise.
+    Spatially-sorted faces (ModelSpec loader) make subgroup bboxes tight."""
     F = tri_xy.shape[0]
     pad = (-F) % FACE_CHUNK
     big = jnp.asarray(1e9, tri_xy.dtype)
@@ -270,14 +280,14 @@ def _tile_cull_mask(tri_xy, valid, H, W, sigma):
     ymin = jnp.where(valid, y.min(axis=1), big)
     ymax = jnp.where(valid, y.max(axis=1), -big)
 
-    def chunk_min(v):
-        return jnp.pad(v, (0, pad), constant_values=1e9).reshape(-1, FACE_CHUNK).min(axis=1)
+    def group_min(v):
+        return jnp.pad(v, (0, pad), constant_values=1e9).reshape(-1, FACE_GROUP).min(axis=1)
 
-    def chunk_max(v):
-        return jnp.pad(v, (0, pad), constant_values=-1e9).reshape(-1, FACE_CHUNK).max(axis=1)
+    def group_max(v):
+        return jnp.pad(v, (0, pad), constant_values=-1e9).reshape(-1, FACE_GROUP).max(axis=1)
 
-    cxmin, cxmax = chunk_min(xmin), chunk_max(xmax)
-    cymin, cymax = chunk_min(ymin), chunk_max(ymax)
+    gxmin, gxmax = group_min(xmin), group_max(xmax)  # (C·N_GROUPS,)
+    gymin, gymax = group_min(ymin), group_max(ymax)
 
     margin = math.sqrt(CULL_MARGIN_SQ_SIGMAS * sigma)
     s = float(min(H, W))
@@ -290,10 +300,13 @@ def _tile_cull_mask(tri_xy, valid, H, W, sigma):
     tile_xmax = -(j * TILE_W * 2.0 + 1.0 - W) / s
     tile_xmin = -(((j + 1) * TILE_W - 1) * 2.0 + 1.0 - W) / s
 
-    oy = (cymin[None, :] <= tile_ymax[:, None] + margin) & (cymax[None, :] >= tile_ymin[:, None] - margin)
-    ox = (cxmin[None, :] <= tile_xmax[:, None] + margin) & (cxmax[None, :] >= tile_xmin[:, None] - margin)
-    mask = oy[:, None, :] & ox[None, :, :]  # (n_ty, n_tx, C)
-    return mask.reshape(n_ty * n_tx, -1).reshape(-1).astype(jnp.int32)
+    oy = (gymin[None, :] <= tile_ymax[:, None] + margin) & (gymax[None, :] >= tile_ymin[:, None] - margin)
+    ox = (gxmin[None, :] <= tile_xmax[:, None] + margin) & (gxmax[None, :] >= tile_xmin[:, None] - margin)
+    hit = (oy[:, None, :] & ox[None, :, :]).reshape(n_ty * n_tx, -1, N_GROUPS)  # (T, C, G)
+    bits = jnp.sum(
+        hit.astype(jnp.int32) << jnp.arange(N_GROUPS, dtype=jnp.int32)[None, None, :], axis=-1
+    )
+    return bits.reshape(-1)
 
 
 # ---------------------------------------------------------------------------
