@@ -101,3 +101,68 @@ def profile_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# ---------------------------------------------------------------------------
+# memory/config recommendation (reference memory_optimization.py:270-291)
+# ---------------------------------------------------------------------------
+
+# rough per-sample activation footprints at 224² input, bf16 compute (MB)
+_BACKBONE_ACTIVATION_MB = {
+    "resnet50": 95,
+    "resnet101": 130,
+    "resnet152": 165,
+    "vit_base_patch16_224": 110,
+    "vit_large_patch16_224": 260,
+    "unet_resnet34": 140,
+    "unet_small": 45,
+}
+_BACKBONE_PARAM_MB = {
+    "resnet50": 100,
+    "resnet101": 170,
+    "resnet152": 230,
+    "vit_base_patch16_224": 330,
+    "vit_large_patch16_224": 1160,
+    "unet_resnet34": 120,
+    "unet_small": 20,
+}
+
+
+def recommend_batch_size(
+    backbone: str,
+    hbm_gb: float | None = None,
+    input_resolution: int = 224,
+    n_views: int = 1,
+    safety: float = 0.6,
+) -> dict:
+    """Suggest a per-chip batch size from the backbone's memory footprint.
+
+    The reference's recommender targets 24 GB GPUs (memory_optimization.py:291);
+    here HBM is read from the device when available (v5e: 16 GB).
+    """
+    if hbm_gb is None:
+        stats = device_memory_stats()
+        hbm_gb = 16.0
+        try:
+            import jax
+
+            limit = (jax.local_devices()[0].memory_stats() or {}).get("bytes_limit")
+            if limit:
+                hbm_gb = limit / 1e9
+        except Exception:
+            pass
+    act = _BACKBONE_ACTIVATION_MB.get(backbone, 150) * (input_resolution / 224.0) ** 2
+    par = _BACKBONE_PARAM_MB.get(backbone, 200)
+    # params + optimizer state (adamw: 2 extra copies) + grads
+    fixed = par * 4
+    per_sample = act * n_views * 3  # activations kept for backward, rough 3x
+    budget = hbm_gb * 1000 * safety - fixed
+    bs = max(1, int(budget // per_sample))
+    return {
+        "backbone": backbone,
+        "hbm_gb": hbm_gb,
+        "recommended_batch_size": bs,
+        "per_sample_mb": per_sample,
+        "fixed_mb": fixed,
+        "note": "estimates; use gradient_accumulation_steps beyond this",
+    }
