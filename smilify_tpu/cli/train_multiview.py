@@ -165,10 +165,15 @@ def main(argv=None):
         state.epoch = epoch
         mean_loss = float(np.mean(losses))
         state.history.append({"epoch": epoch, "loss": mean_loss, "lr": lr})
+        for k, v in objs.items():
+            state.history[-1][f"loss_{k}"] = float(v)
         print(f"epoch {epoch}: loss {mean_loss:.5f} ({len(losses)} steps, {time.time()-t0:.0f}s)")
 
         if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or epoch == cfg.training.num_epochs - 1:
             save_checkpoint(args.output_dir, state, cfg, name="final_model")
+            from smilify_tpu.train.trainer import plot_training_history
+
+            plot_training_history(state.history, os.path.join(args.output_dir, "plots"))
             print("checkpoint saved")
 
     return state

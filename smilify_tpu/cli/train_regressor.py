@@ -176,12 +176,20 @@ def main(argv=None):
         mean_loss = float(np.mean(epoch_losses))
         state.epoch = epoch
         state.history.append({"epoch": epoch, "loss": mean_loss, "lr": lr})
+        for k, v in objs.items():
+            state.history[-1][f"loss_{k}"] = float(v)
         print(f"epoch {epoch}: loss {mean_loss:.5f} ({len(epoch_losses)} steps, "
               f"{time.time()-t_start:.0f}s)")
 
         if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or epoch == cfg.training.num_epochs - 1:
             path = save_checkpoint(args.output_dir, state, cfg, name=f"epoch_{epoch}")
             save_checkpoint(args.output_dir, state, cfg, name="final_model")
+            from smilify_tpu.train.trainer import plot_training_history
+
+            plot_training_history(state.history, os.path.join(args.output_dir, "plots"))
+            from smilify_tpu.train.trainer import plot_training_history
+
+            plot_training_history(state.history, os.path.join(args.output_dir, "plots"))
             print(f"checkpoint → {path}")
 
     return state

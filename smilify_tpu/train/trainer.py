@@ -245,3 +245,61 @@ def iterate_batches(
         else:
             keys = samples[0].keys()
             yield {k: np.stack([np.asarray(s[k]) for s in samples]) for k in keys}
+
+
+def plot_training_history(history: List[Dict[str, float]], out_dir: str):
+    """Loss / learning-rate curves from TrainState.history (reference
+    train_multiview_regressor.py:2096-2233). Writes png files; silently
+    no-ops when matplotlib is unavailable."""
+    if not history:
+        return []
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return []
+    os.makedirs(out_dir, exist_ok=True)
+    epochs = [h.get("epoch", i) for i, h in enumerate(history)]
+    written = []
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(epochs, [h["loss"] for h in history])
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss")
+    ax.set_title("training loss")
+    ax.grid(alpha=0.3)
+    p = os.path.join(out_dir, "training_history.png")
+    fig.savefig(p, dpi=120)
+    plt.close(fig)
+    written.append(p)
+
+    if any("lr" in h for h in history):
+        fig, ax = plt.subplots(figsize=(7, 3))
+        ax.plot(epochs, [h.get("lr", float("nan")) for h in history])
+        ax.set_yscale("log")
+        ax.set_xlabel("epoch")
+        ax.set_ylabel("lr")
+        ax.set_title("learning rate schedule")
+        ax.grid(alpha=0.3)
+        p = os.path.join(out_dir, "lr_schedule.png")
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+
+    comp_keys = sorted({k for h in history for k in h if k.startswith("loss_")})
+    if comp_keys:
+        fig, ax = plt.subplots(figsize=(8, 4))
+        for k in comp_keys:
+            ax.plot(epochs, [h.get(k, float("nan")) for h in history], label=k[5:])
+        ax.set_xlabel("epoch")
+        ax.set_yscale("log")
+        ax.legend(fontsize=7)
+        ax.set_title("loss components")
+        ax.grid(alpha=0.3)
+        p = os.path.join(out_dir, "loss_components.png")
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
+    return written

@@ -1,0 +1,237 @@
+"""Benchmark all five BASELINE.json configs on the local chip.
+
+Writes BENCH_DETAIL.json with per-config throughput:
+  1. single-frame SMIL forward (SMILy_STICK.pkl)
+  2. fitter_3d chamfer registration step (ATTA_BOI ant scan)
+  3. single-view SMALFitter full optimization step (512², sil+kp+priors)
+  4. neuralSMIL single-view regressor inference (ResNet-50 @224²)
+  5. multi-view neural inference (18-cam mouse-like / 4-cam stick, ResNet-50,
+     per-camera projection + DLT triangulation)
+
+Usage: python tools/bench_all.py  (single process; owns the TPU)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+STICK = "/root/reference/3D_model_prep/SMILy_STICK.pkl"
+MOUSE = "/root/reference/3D_model_prep/SMILy_Mouse_static_joints.pkl"
+ATTA = "/root/reference/fitter_3d/ATTA_BOI/Atta_vollenweideri_1_mg_worker.obj"
+
+
+def timeit(fn, *args, warmup=3, iters=20):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.tree.map(lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree.map(lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_forward(spec):
+    from smilify_tpu.core.lbs import smil_forward
+
+    res = {}
+    for batch in (1, 64):
+        rng = np.random.RandomState(0)
+        betas = jnp.asarray(rng.randn(batch, spec.n_betas).astype(np.float32) * 0.3)
+        theta = jnp.asarray(rng.randn(batch, spec.n_joints, 3).astype(np.float32) * 0.1)
+        fn = jax.jit(lambda b, t: smil_forward(spec, b, t).verts)
+        dt = timeit(fn, betas, theta, iters=50)
+        res[f"b{batch}_ms"] = dt * 1000
+        res[f"b{batch}_samples_per_sec"] = batch / dt
+    return res
+
+
+def bench_fitter3d(spec):
+    import optax
+
+    from smilify_tpu.fitter.fitter3d import (
+        StageManager, Stage, pad_target_meshes, registration_losses, init_3d_params,
+        template_topology,
+    )
+    from smilify_tpu.utils.export import load_obj
+
+    v, f = load_obj(ATTA)
+    targets = pad_target_meshes([(v, f)], ["atta"])
+    params = init_3d_params(spec, 1)
+    topo = template_topology(spec)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    lw = {"chamfer": 1.0, "edge": 1.0, "normal": 0.01, "laplacian": 0.1, "sdf": 0.0}
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            total, _ = registration_losses(spec, topo, p, targets, key, lw, num_samples=3000)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(0)
+    # chained steady-state loop (the real optimization workload)
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, key)
+    loss.block_until_ready()
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        params, opt_state, loss = step(params, opt_state, key)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / n
+    return {"step_ms": dt * 1000, "iters_per_sec": 1 / dt,
+            "target_verts": int(v.shape[0]), "samples": 3000}
+
+
+def bench_fitter_step(spec):
+    # same as bench.py, abbreviated
+    import optax
+
+    from smilify_tpu.fitter.fitter import FitData, forward_losses, init_params, temporal_losses
+    from smilify_tpu.fitter.priors import default_limit_prior, default_pose_prior, shape_prior_from_spec
+    from smilify_tpu.fitter.stages import OPT_WEIGHTS
+
+    sp = shape_prior_from_spec(spec)
+    pp = default_pose_prior(spec)
+    lp = default_limit_prior(spec)
+    rng = np.random.RandomState(0)
+    H = W = 512
+    params = init_params(spec, 1, sp)
+    data = FitData(
+        rgb=None,
+        sil=jnp.asarray((rng.rand(1, H, W) > 0.7).astype(np.float32)),
+        joints=jnp.asarray(rng.rand(1, spec.n_joints, 2).astype(np.float32) * H),
+        visibility=jnp.ones((1, spec.n_joints)),
+    )
+    weights = OPT_WEIGHTS[1]
+    tx = optax.adam(weights.lr, b1=0.5)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        total, _ = forward_losses(spec, p, data, weights, pp, lp, sp, (H, W))
+        tj, tg, tt = temporal_losses(p, weights.w_temp)
+        return total + tj + tg + tt
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state)
+    loss.block_until_ready()
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        params, opt_state, loss = step(params, opt_state)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / n
+    return {"step_ms": dt * 1000, "iters_per_sec": 1 / dt, "image": "512x512",
+            "faces": int(spec.n_faces)}
+
+
+def bench_singleview_inference(spec):
+    from smilify_tpu.models.regressor import RegressorConfig, SMILRegressor, decode_predictions
+
+    cfg = RegressorConfig(backbone="resnet50", n_pose=spec.n_joints - 1,
+                          n_betas=spec.n_betas, n_joints=spec.n_joints,
+                          decoder_dim=256, decoder_depth=4, ief_iters=3)
+    model = SMILRegressor(cfg)
+    imgs = jnp.zeros((8, 224, 224, 3))
+    variables = model.init(jax.random.PRNGKey(0), imgs)
+
+    @jax.jit
+    def infer(imgs):
+        (raw, _), _ = model.apply(variables, imgs, train=False, mutable=["batch_stats"])
+        return decode_predictions(cfg, raw, spec)
+
+    dt = timeit(infer, imgs, iters=20)
+    return {"batch8_ms": dt * 1000, "images_per_sec": 8 / dt,
+            "backbone": "resnet50", "resolution": 224}
+
+
+def bench_multiview_inference(spec, n_views, res, label):
+    from smilify_tpu.models.multiview import (
+        MultiViewConfig, MultiViewSMILRegressor, decode_multiview_predictions,
+        project_through_view_cameras, view_projection_matrices,
+    )
+    from smilify_tpu.models.regressor import forward_model
+    from smilify_tpu.render.cameras import triangulate_dlt
+
+    cfg = MultiViewConfig(backbone="resnet50", n_pose=spec.n_joints - 1,
+                          n_betas=spec.n_betas, n_joints=spec.n_joints,
+                          max_views=n_views, decoder_dim=256, decoder_depth=4,
+                          ief_iters=3, fusion_heads=4, fusion_layers=2,
+                          camera_delta_mode=False)
+    model = MultiViewSMILRegressor(cfg)
+    imgs = jnp.zeros((1, n_views, res, res, 3))
+    vm = jnp.ones((1, n_views), bool)
+    cids = jnp.tile(jnp.arange(n_views)[None], (1, 1))
+    variables = model.init(jax.random.PRNGKey(0), imgs, vm, cids)
+
+    @jax.jit
+    def infer(imgs, vm, cids):
+        (raw, _), _ = model.apply(variables, imgs, vm, cids, train=False,
+                                  mutable=["batch_stats"])
+        preds = decode_multiview_predictions(cfg, raw, spec)
+        verts, joints3d = forward_model(spec, preds)
+        kp2d = project_through_view_cameras(preds, joints3d, (res, res))
+        P = view_projection_matrices(preds)
+        # triangulate the projected keypoints back (the inference-time
+        # consistency check the reference's loss uses)
+        s = res
+        x_ndc = (res - 1.0 - 2.0 * kp2d[..., 1] * res) / s
+        y_ndc = (res - 1.0 - 2.0 * kp2d[..., 0] * res) / s
+        ndc = jnp.stack([x_ndc, y_ndc], axis=-1)
+        tri = jax.vmap(lambda n, p: triangulate_dlt(n, p, jnp.ones(n.shape[0], bool)))(ndc, P)
+        return kp2d, tri
+
+    dt = timeit(infer, imgs, vm, cids, iters=10)
+    return {f"{label}_ms": dt * 1000, f"{label}_frames_per_sec": 1 / dt,
+            "views": n_views, "resolution": res}
+
+
+def main():
+    from smilify_tpu.core.spec import load_model_spec
+
+    stick = load_model_spec(STICK, align_symmetry=False)
+    mouse = load_model_spec(MOUSE, align_symmetry=False)
+
+    report = {"device": str(jax.devices()[0]), "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
+    print("1/5 SMIL forward ...", flush=True)
+    report["config1_smil_forward_stick"] = bench_forward(stick)
+    print("2/5 fitter_3d chamfer registration ...", flush=True)
+    report["config2_fitter3d_atta"] = bench_fitter3d(stick)
+    print("3/5 SMALFitter full step ...", flush=True)
+    report["config3_smalfitter_512"] = bench_fitter_step(stick)
+    print("4/5 single-view inference ...", flush=True)
+    report["config4_singleview_resnet50"] = bench_singleview_inference(stick)
+    print("5a/5 multi-view 4-cam stick ...", flush=True)
+    report["config5a_multiview_4cam_stick"] = bench_multiview_inference(stick, 4, 224, "stick4")
+    print("5b/5 multi-view 18-cam mouse ...", flush=True)
+    report["config5b_multiview_18cam_mouse"] = bench_multiview_inference(mouse, 18, 224, "mouse18")
+
+    out = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
