@@ -23,6 +23,7 @@ def main(argv=None):
     ap.add_argument("--data-path", default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--output-dir", default="runs/multiview")
+    ap.add_argument("--resume", default=None, help="checkpoint name/path to resume")
     ap.add_argument("--set", nargs="*", default=None)
     args = ap.parse_args(argv)
 
@@ -50,6 +51,9 @@ def main(argv=None):
         replicate,
         save_checkpoint,
         shard_batch,
+        split_dataset,
+        SubsetDataset,
+        try_resume,
     )
 
     overrides = parse_set_overrides(args.set)
@@ -73,6 +77,15 @@ def main(argv=None):
     V = cfg.multiview.num_views_to_use
     print(f"multiview dataset: {len(dataset)} samples, max_views={V}, res={res}, "
           f"world_scale={dataset.world_scale}")
+
+    tr_idx, val_idx, te_idx = split_dataset(
+        len(dataset),
+        (cfg.dataset.train_ratio, cfg.dataset.val_ratio, cfg.dataset.test_ratio),
+        cfg.training.seed,
+    )
+    train_ds = SubsetDataset(dataset, tr_idx)
+    val_ds = SubsetDataset(dataset, val_idx)
+    print(f"split: {len(train_ds)} train / {len(val_ds)} val / {len(te_idx)} test")
 
     model = MultiViewSMILRegressor(rcfg)
     rng = jax.random.PRNGKey(cfg.training.seed)
@@ -115,6 +128,7 @@ def main(argv=None):
     host_rng = np.random.default_rng(cfg.training.seed)
     state = TrainState(params=replicate(mesh, params), batch_stats=replicate(mesh, batch_stats),
                        opt_state=None)
+    state, start_epoch = try_resume(args.output_dir, args.resume, state)
     current = {"key": None, "step_fn": None, "tx": None}
 
     def make_loss(weights):
@@ -137,7 +151,7 @@ def main(argv=None):
         return loss_fn
 
     t0 = time.time()
-    for epoch in range(cfg.training.num_epochs):
+    for epoch in range(start_epoch, cfg.training.num_epochs):
         weights = cfg.get_loss_weights_for_epoch(epoch)
         lr = cfg.get_learning_rate_for_epoch(epoch)
         frozen = cfg.model.freeze_backbone and (
@@ -147,13 +161,17 @@ def main(argv=None):
         if key != current["key"]:
             tx = build_optimizer(cfg, lr, frozen)
             state.opt_state = replicate(mesh, tx.init(jax.device_get(state.params)))
+            from smilify_tpu.train.trainer import make_eval_step
+
+            loss_fn = make_loss(dict(weights))
             current.update(key=key, tx=tx,
-                           step_fn=make_train_step(apply_fn, make_loss(dict(weights)), tx,
-                                                   cfg.training.gradient_accumulation_steps))
+                           step_fn=make_train_step(apply_fn, loss_fn, tx,
+                                                   cfg.training.gradient_accumulation_steps),
+                           eval_fn=make_eval_step(apply_fn, loss_fn))
             print(f"epoch {epoch}: lr={lr} frozen_backbone={frozen}")
 
         losses = []
-        for batch in iterate_batches(dataset, bs, host_rng, fraction=cfg.dataset.dataset_fraction,
+        for batch in iterate_batches(train_ds, bs, host_rng, fraction=cfg.dataset.dataset_fraction,
                                      collate=collate_multiview):
             batch = shard_batch(mesh, batch)
             state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
@@ -168,6 +186,16 @@ def main(argv=None):
         for k, v in objs.items():
             state.history[-1][f"loss_{k}"] = float(v)
         print(f"epoch {epoch}: loss {mean_loss:.5f} ({len(losses)} steps, {time.time()-t0:.0f}s)")
+
+        if len(val_ds) >= bs:
+            val_losses = []
+            for vb in iterate_batches(val_ds, bs, host_rng, shuffle=False, fraction=1.0):
+                vb = shard_batch(mesh, vb)
+                vloss, _ = current["eval_fn"](state.params, state.batch_stats, vb)
+                val_losses.append(float(vloss))
+            if val_losses:
+                state.history[-1]["val_loss"] = float(np.mean(val_losses))
+                print(f"epoch {epoch}: val_loss {state.history[-1]['val_loss']:.5f}")
 
         if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or epoch == cfg.training.num_epochs - 1:
             save_checkpoint(args.output_dir, state, cfg, name="final_model")

@@ -303,3 +303,56 @@ def plot_training_history(history: List[Dict[str, float]], out_dir: str):
         plt.close(fig)
         written.append(p)
     return written
+
+
+def split_dataset(n: int, ratios: Tuple[float, float, float], seed: int):
+    """Seeded train/val/test index split (reference random_split,
+    train_multiview_regressor.py:2389-2391)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(n)
+    n_train = int(n * ratios[0])
+    n_val = int(n * ratios[1])
+    return idx[:n_train], idx[n_train : n_train + n_val], idx[n_train + n_val :]
+
+
+class SubsetDataset:
+    """Index-subset view of a map-style dataset."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, dtype=np.int64)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+
+def try_resume(ckpt_dir: str, resume: Optional[str], state: TrainState):
+    """Resume params/batch_stats/opt_state + epoch from an orbax checkpoint
+    (reference --resume_checkpoint, README.md:214-220). ``resume`` may be a
+    checkpoint name within ckpt_dir or an absolute checkpoint path."""
+    import json as _json
+
+    import orbax.checkpoint as ocp
+
+    if not resume:
+        return state, 0
+    path = resume if os.path.isabs(resume) else os.path.join(ckpt_dir, resume)
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(path)
+    state.params = restored["params"]
+    state.batch_stats = restored.get("batch_stats", {})
+    if restored.get("opt_state") is not None:
+        state.opt_state = restored["opt_state"]
+    start_epoch = 0
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        state.history = list(meta.get("history", []))
+    print(f"resumed from {path} at epoch {start_epoch}")
+    return state, start_epoch
