@@ -64,3 +64,26 @@ def fit_collage(
     if rev_rendered is not None:
         panels.append(rev_rendered)
     return np.concatenate(panels, axis=1)
+
+
+def silhouette_iou(a, b, threshold: float = 0.5) -> float:
+    """IoU between two silhouettes (soft maps thresholded) — the parity metric
+    named in BASELINE.json."""
+    import numpy as np
+
+    A = np.asarray(a) > threshold
+    B = np.asarray(b) > threshold
+    inter = np.logical_and(A, B).sum()
+    union = np.logical_or(A, B).sum()
+    return float(inter) / float(union) if union else 1.0
+
+
+def pck(pred_yx, gt_yx, visibility, threshold_px: float) -> float:
+    """Percentage of correct keypoints at a pixel threshold."""
+    import numpy as np
+
+    err = np.linalg.norm(np.asarray(pred_yx) - np.asarray(gt_yx), axis=-1)
+    vis = np.asarray(visibility) > 0
+    if not vis.any():
+        return 0.0
+    return float((err[vis] <= threshold_px).mean())

@@ -118,3 +118,28 @@ def test_pallas_matches_ref_gradient():
     # z gradients: the pallas path doesn't differentiate the znear cull mask
     # (piecewise-constant) — compare xy only
     np.testing.assert_allclose(g_pal[:, :2], g_ref[:, :2], atol=5e-3, rtol=1e-3)
+
+
+def test_silhouette_iou_parity_pallas_vs_oracle(stick_spec):
+    """The BASELINE parity metric: IoU between the Pallas silhouette and the
+    oracle on the real model must be ~1."""
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.lbs import smil_forward
+    from smilify_tpu.render.cameras import default_camera
+    from smilify_tpu.utils.visualization import silhouette_iou
+
+    spec = stick_spec
+    out = smil_forward(spec, jnp.zeros((1, spec.n_betas)), jnp.zeros((1, spec.n_joints, 3)))
+    cam = default_camera()
+    pv = cam.world_to_view(out.verts[0])
+    ndc = cam.view_to_ndc(pv)
+    verts_ndc = jnp.concatenate([ndc[:, :2], pv[:, 2:3]], axis=1)
+
+    a_ref = soft_silhouette(verts_ndc, spec.faces, (128, 128), znear=1e-3, use_pallas=False)
+    a_pal = soft_silhouette(verts_ndc, spec.faces, (128, 128), znear=1e-3, use_pallas=True,
+                            interpret=jax.default_backend() != "tpu")
+    iou = silhouette_iou(a_pal, a_ref)
+    assert iou > 0.999, iou
+    coverage = float(jnp.mean((a_ref > 0.5)))
+    assert 0.005 < coverage < 0.9  # real object rendered
