@@ -52,7 +52,9 @@ def main(argv=None):
                 frames.append(imageio.imread(png))
         if not frames:
             raise SystemExit(f"no {args.epoch_name}.png files found")
-        imageio.mimwrite(out_path, frames, fps=args.fps)
+        from smilify_tpu.utils.export import write_video
+
+        write_video(out_path, frames, fps=args.fps)
         print(f"video ({len(frames)} collage frames) → {out_path}")
         return out_path
 
@@ -94,7 +96,9 @@ def main(argv=None):
 
     if not frames:
         raise SystemExit(f"no {args.epoch_name}.pkl files found")
-    imageio.mimwrite(out_path, frames, fps=args.fps)
+    from smilify_tpu.utils.export import write_video
+
+    write_video(out_path, frames, fps=args.fps)
     print(f"video ({len(frames)} rendered frames) → {out_path}")
     return out_path
 

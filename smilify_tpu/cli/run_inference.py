@@ -185,9 +185,9 @@ def main(argv=None):
 
             imageio.imwrite(os.path.join(render_dir, f"frame_{i:05d}.png"), frames[-1])
         if args.video:
-            import imageio.v2 as imageio
+            from smilify_tpu.utils.export import write_video
 
-            imageio.mimwrite(args.video, frames, fps=15)
+            write_video(args.video, frames, fps=15)
             print(f"video → {args.video}")
 
     out_npz = os.path.join(os.path.dirname(args.checkpoint) or ".", "predictions.npz")

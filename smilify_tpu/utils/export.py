@@ -91,3 +91,21 @@ class ImageExporter:
             pickle.dump({k: np.asarray(v) for k, v in img_parameters.items()}, f)
         if vertices is not None and faces is not None:
             save_ply(base + ".ply", np.asarray(vertices), np.asarray(faces))
+
+
+def write_video(path: str, frames, fps: int = 15) -> str:
+    """Write an mp4/avi from a list of (H, W, 3) uint8 RGB frames via cv2
+    (imageio has no ffmpeg backend in this environment)."""
+    import cv2
+
+    if not frames:
+        raise ValueError("no frames")
+    H, W = frames[0].shape[:2]
+    fourcc = cv2.VideoWriter_fourcc(*("mp4v" if path.endswith(".mp4") else "MJPG"))
+    vw = cv2.VideoWriter(path, fourcc, fps, (W, H))
+    try:
+        for fr in frames:
+            vw.write(cv2.cvtColor(fr, cv2.COLOR_RGB2BGR))
+    finally:
+        vw.release()
+    return path

@@ -31,7 +31,6 @@ def test_pca_shape_space_recovers_subspace():
     # reconstruction through the recovered space must be near-exact
     flat = meshes.reshape(len(meshes), -1)
     mean = space["v_template"].reshape(-1)
-    comps = space["shapedirs"].reshape(-1, 3).T.reshape(3, -1) if False else None
     sd = space["shapedirs"].reshape(V * 3, 3).T  # (B, 3V)
     recon = mean + space["betas"] @ sd
     np.testing.assert_allclose(recon, flat, atol=1e-8)
@@ -47,11 +46,8 @@ def test_entangled_pca_produces_dirs():
     space = compute_entangled_pca(verts, scales, trans, n_components=B)
     assert space["scaledirs"].shape == (B, J, 3)
     assert space["transdirs"].shape == (B, J, 3)
-    # reconstruction of the stacked data through the entangled space
+    # the component directions must be orthogonal in the stacked space
     sd = space["shapedirs"].reshape(V * 3, B).T
-    recon_v = space["v_template"].reshape(-1) + space["betas"] @ sd
-    # verts dominated reconstruction error should be small for a rank-16 set → rank-2 PCA won't be exact;
-    # instead assert the component directions are orthonormal in the stacked space
     flat_scale = space["scaledirs"].reshape(B, -1)
     flat_trans = space["transdirs"].reshape(B, -1)
     stacked = np.concatenate([sd, flat_scale, flat_trans], axis=1)
