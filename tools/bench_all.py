@@ -98,7 +98,7 @@ def bench_fitter3d(spec):
             "target_verts": int(v.shape[0]), "samples": 3000}
 
 
-def bench_fitter_step(spec):
+def bench_fitter_step(spec, n_frames=1):
     # same as bench.py, abbreviated
     import optax
 
@@ -111,12 +111,13 @@ def bench_fitter_step(spec):
     lp = default_limit_prior(spec)
     rng = np.random.RandomState(0)
     H = W = 512
-    params = init_params(spec, 1, sp)
+    N = n_frames
+    params = init_params(spec, N, sp)
     data = FitData(
         rgb=None,
-        sil=jnp.asarray((rng.rand(1, H, W) > 0.7).astype(np.float32)),
-        joints=jnp.asarray(rng.rand(1, spec.n_joints, 2).astype(np.float32) * H),
-        visibility=jnp.ones((1, spec.n_joints)),
+        sil=jnp.asarray((rng.rand(N, H, W) > 0.7).astype(np.float32)),
+        joints=jnp.asarray(rng.rand(N, spec.n_joints, 2).astype(np.float32) * H),
+        visibility=jnp.ones((N, spec.n_joints)),
     )
     weights = OPT_WEIGHTS[1]
     tx = optax.adam(weights.lr, b1=0.5)
@@ -142,8 +143,9 @@ def bench_fitter_step(spec):
         params, opt_state, loss = step(params, opt_state)
     loss.block_until_ready()
     dt = (time.perf_counter() - t0) / n
-    return {"step_ms": dt * 1000, "iters_per_sec": 1 / dt, "image": "512x512",
-            "faces": int(spec.n_faces)}
+    return {"step_ms": dt * 1000, "iters_per_sec": 1 / dt,
+            "frame_iters_per_sec": n_frames / dt, "frames": n_frames,
+            "image": "512x512", "faces": int(spec.n_faces)}
 
 
 def bench_singleview_inference(spec):
@@ -220,6 +222,8 @@ def main():
     report["config2_fitter3d_atta"] = bench_fitter3d(stick)
     print("3/5 SMALFitter full step ...", flush=True)
     report["config3_smalfitter_512"] = bench_fitter_step(stick)
+    print("3b/5 SMALFitter windowed (WINDOW_SIZE=10) ...", flush=True)
+    report["config3b_smalfitter_512_window10"] = bench_fitter_step(stick, n_frames=10)
     print("4/5 single-view inference ...", flush=True)
     report["config4_singleview_resnet50"] = bench_singleview_inference(stick)
     print("5a/5 multi-view 4-cam stick ...", flush=True)
