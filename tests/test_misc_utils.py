@@ -1,0 +1,135 @@
+"""Unit tests for smaller modules: COCO RLE decode, rotations round-trips,
+combined dataset mixing, monitoring, crop_to_silhouette."""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def test_coco_rle_roundtrip():
+    """Encode a mask to COCO compressed RLE and decode it back."""
+    from smilify_tpu.data.loaders import _decode_coco_rle
+
+    rng = np.random.RandomState(0)
+    h, w = 12, 9
+    mask = (rng.rand(h, w) > 0.6).astype(np.uint8)
+
+    # build COCO RLE: column-major runs, then LEB128-ish string encoding
+    flat = mask.T.reshape(-1)
+    runs = []
+    val = 0
+    count = 0
+    for px in flat:
+        if px == val:
+            count += 1
+        else:
+            runs.append(count)
+            val = 1 - val
+            count = 1
+    runs.append(count)
+
+    # uncompressed list form
+    out = _decode_coco_rle(list(runs), h, w)
+    np.testing.assert_array_equal(out, mask)
+
+    # compressed string form (coco's encoding)
+    s = []
+    for i, x in enumerate(runs):
+        if i > 2:
+            x -= runs[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = x != -1 if (c & 0x10) else x != 0
+            if more:
+                c |= 0x20
+            s.append(chr(c + 48))
+    out2 = _decode_coco_rle("".join(s), h, w)
+    np.testing.assert_array_equal(out2, mask)
+
+
+def test_rotation_6d_roundtrips():
+    from smilify_tpu.core.rotations import (
+        axis_angle_to_rotation_6d,
+        matrix_to_rotation_6d,
+        rotation_6d_to_axis_angle,
+        rotation_6d_to_matrix,
+    )
+
+    rng = np.random.RandomState(1)
+    aa = jnp.asarray(rng.randn(20, 3) * 0.8, dtype=jnp.float32)
+    rec = rotation_6d_to_axis_angle(axis_angle_to_rotation_6d(aa))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(aa), atol=1e-5)
+
+    d6 = axis_angle_to_rotation_6d(aa)
+    R = rotation_6d_to_matrix(d6)
+    np.testing.assert_allclose(np.asarray(matrix_to_rotation_6d(R)), np.asarray(d6), atol=1e-5)
+    # orthonormality
+    RtR = np.einsum("nij,nkj->nik", np.asarray(R), np.asarray(R))
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (20, 1, 1)), atol=1e-5)
+
+
+def test_combined_dataset_mixing():
+    from smilify_tpu.data.combined import CombinedDataset
+
+    class Fake:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i]), "tag": self.tag}
+
+    ds = CombinedDataset([
+        {"dataset": Fake(10, "a"), "weight": 3.0, "name": "a",
+         "available_labels": {"pose": False}},
+        {"dataset": Fake(30, "b"), "weight": 1.0, "name": "b"},
+    ])
+    assert len(ds) == 40
+    s = ds[5]
+    assert s["dataset_name"] == "a" and s["availability"]["pose"] is False
+    s = ds[15]
+    assert s["dataset_name"] == "b" and s["availability"]["pose"] is True
+
+    w = ds.sampling_weights()
+    # dataset a carries 3/4 of the probability mass over 10 samples
+    np.testing.assert_allclose(w[:10].sum(), 0.75, atol=1e-9)
+    rng = np.random.default_rng(0)
+    idx = ds.sample_indices(4000, rng)
+    frac_a = (idx < 10).mean()
+    assert 0.7 < frac_a < 0.8
+
+
+def test_performance_monitor():
+    import time
+
+    from smilify_tpu.utils.monitoring import MemoryMonitor, PerformanceMonitor
+
+    pm = PerformanceMonitor()
+    with pm.section("work"):
+        time.sleep(0.01)
+    with pm.section("work"):
+        time.sleep(0.01)
+    rep = pm.report()
+    assert "work" in rep and "host RSS" in rep
+    assert pm.counts["work"] == 2
+
+    mm = MemoryMonitor()
+    mm.snapshot("t0")
+    assert mm.peak_host_mb() > 10
+
+
+def test_crop_to_silhouette():
+    from smilify_tpu.data.loaders import crop_to_silhouette
+
+    sil = np.zeros((100, 80))
+    sil[30:60, 20:50] = 1.0
+    rgb = np.random.RandomState(0).rand(100, 80, 3)
+    joints = np.array([[45.0, 35.0]])  # (y, x) at the blob center
+    sil_c, rgb_c, j_c = crop_to_silhouette(sil, rgb, joints, 64)
+    assert sil_c.shape == (64, 64) and rgb_c.shape == (64, 64, 3)
+    # blob center lands near the crop center
+    np.testing.assert_allclose(j_c[0], [32, 32], atol=4)
+    assert sil_c.mean() > 0.5  # the blob fills most of the 1.05x crop
