@@ -34,14 +34,16 @@ def main(argv=None):
 
     from smilify_tpu.cli.train_regressor import parse_set_overrides
     from smilify_tpu.data.hdf5_dataset import MultiViewHDF5Dataset, collate_multiview
-    from smilify_tpu.models.multiview import (
-        MultiViewSMILRegressor,
-        compute_multiview_batch_loss,
-        decode_multiview_predictions,
+    from smilify_tpu.models.multiview import MultiViewSMILRegressor
+    from smilify_tpu.train.config import (
+        load_config,
+        resolve_joint_importance,
+        resolve_model_spec,
     )
-    from smilify_tpu.core.rotations import matrix_to_axis_angle
-    from smilify_tpu.render.cameras import camera_from_opencv
-    from smilify_tpu.train.config import load_config, resolve_model_spec
+    from smilify_tpu.train.multiview_setup import (
+        make_multiview_apply_fn,
+        make_multiview_loss_fn,
+    )
     from smilify_tpu.train.trainer import (
         TrainState,
         build_optimizer,
@@ -101,29 +103,12 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     H = W = res
-
-    def batch_to_view_cams(batch):
-        """GT OpenCV cameras → our convention for camera-delta init and targets."""
-        import jax
-
-        def one(Rcv, tcv, Kcv):
-            cam = camera_from_opencv(Rcv, tcv, Kcv, (H, W))
-            return cam.R, cam.T, cam.fov
-
-        R, T, fov = jax.vmap(jax.vmap(one))(
-            batch["camera_extrinsics_R"], batch["camera_extrinsics_t"], batch["camera_intrinsics"]
-        )
-        return {"view_cam_rot": R, "view_cam_trans": T, "view_fov": fov}
-
-    def apply_fn(variables, batch, train):
-        (raw, hist), mutated = model.apply(
-            variables, batch["images"], batch["view_mask"], batch["camera_indices"],
-            train=train, mutable=["batch_stats"] if train else [],
-            rngs={"dropout": jax.random.PRNGKey(0)} if train else None,
-        )
-        preds = decode_multiview_predictions(rcfg, raw, spec)
-        new_stats = mutated.get("batch_stats", variables.get("batch_stats", {})) if train else None
-        return preds, new_stats
+    apply_fn = make_multiview_apply_fn(model, rcfg, spec, (H, W))
+    joint_importance = resolve_joint_importance(cfg, spec)
+    if joint_importance is not None:
+        joint_importance = jnp.asarray(joint_importance)
+        print(f"joint importance active: min={float(joint_importance.min())} "
+              f"max={float(joint_importance.max())}")
 
     host_rng = np.random.default_rng(cfg.training.seed)
     state = TrainState(params=replicate(mesh, params), batch_stats=replicate(mesh, batch_stats),
@@ -132,23 +117,8 @@ def main(argv=None):
     current = {"key": None, "step_fn": None, "tx": None}
 
     def make_loss(weights):
-        def loss_fn(preds, batch):
-            gt_cams = batch_to_view_cams(batch)
-            targets = {
-                "global_rot": batch["global_rot"],
-                "joint_rot": batch["joint_rot"],
-                "betas": batch["betas"][..., : spec.n_betas],
-                "trans": batch["trans"],
-                "keypoints_2d": batch["keypoints_2d"] / jnp.asarray([H, W], jnp.float32),
-                "kp_visibility": batch["keypoint_visibility"],
-                "keypoints_3d": batch["keypoints_3d"],
-                **gt_cams,
-            }
-            return compute_multiview_batch_loss(
-                spec, rcfg, preds, targets, batch["view_mask"], weights, image_size=(H, W)
-            )
-
-        return loss_fn
+        return make_multiview_loss_fn(spec, rcfg, weights, (H, W),
+                                      joint_importance=joint_importance)
 
     t0 = time.time()
     for epoch in range(start_epoch, cfg.training.num_epochs):

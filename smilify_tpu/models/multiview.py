@@ -256,6 +256,7 @@ def compute_multiview_batch_loss(
     view_mask: jnp.ndarray,
     loss_weights: Optional[Dict[str, float]] = None,
     image_size: Tuple[int, int] = (224, 224),
+    joint_importance: Optional[jnp.ndarray] = None,
 ):
     """Multi-view loss (reference compute_multiview_batch_loss:789-828).
 
@@ -263,6 +264,10 @@ def compute_multiview_batch_loss(
     keypoints_2d (B, V, K, 2 normalized yx) + kp_visibility (B, V, K),
     keypoints_3d (B, K, 3 world), gt view cameras (view_fov/view_cam_rot/
     view_cam_trans).
+
+    joint_importance: optional (K,) per-joint weights combining the
+    joint_importance boost and ignored_joint_locations zeroing (reference
+    smil_image_regressor.py:2955-3031) — applied to the 2D/3D keypoint terms.
     """
     w = dict(MULTIVIEW_DEFAULT_LOSS_WEIGHTS, **(loss_weights or {}))
     objs: Dict[str, jnp.ndarray] = {}
@@ -299,12 +304,21 @@ def compute_multiview_batch_loss(
             mask = vm[:, :, None, None]
             if vis is not None:
                 mask = mask * vis[..., None]
+            if joint_importance is not None:
+                mask = mask * joint_importance[None, None, :, None]
             objs["keypoint_2d"] = w["keypoint_2d"] * _masked_mse(
                 kp_pred, targets["keypoints_2d"], mask
             )
 
         if w.get("keypoint_3d", 0) > 0 and "keypoints_3d" in targets:
-            objs["keypoint_3d"] = w["keypoint_3d"] * _masked_mse(joints3d, targets["keypoints_3d"])
+            mask3d = None
+            if joint_importance is not None:
+                mask3d = jnp.broadcast_to(
+                    joint_importance[None, :, None], joints3d.shape
+                )
+            objs["keypoint_3d"] = w["keypoint_3d"] * _masked_mse(
+                joints3d, targets["keypoints_3d"], mask3d
+            )
 
         if w.get("triangulation_consistency", 0) > 0 and "keypoints_2d" in targets:
             # GT 2D keypoints triangulated through PREDICTED cameras vs

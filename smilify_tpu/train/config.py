@@ -402,6 +402,56 @@ def load_config(
     return cfg
 
 
+def resolve_joint_importance(cfg: TrainingConfig, spec):
+    """Combine joint_importance (boost) + ignored_joint_locations (zero) into
+    one (K,) weight array, or None when inactive (reference
+    smil_image_regressor.py:2955-3031 _compute_joint_importance_weights).
+
+    Ignored joints always end up at 0, even if also listed as important.
+    Unknown joint names warn and are skipped, matching the reference."""
+    import numpy as np
+
+    name2idx = {n: i for i, n in enumerate(spec.joint_names)}
+    weights = np.ones(spec.n_joints, dtype=np.float32)
+    active = False
+
+    ji = cfg.joint_importance
+    if ji.enabled and ji.important_joint_names and ji.weight_multiplier != 1.0:
+        for name in ji.important_joint_names:
+            if name in name2idx:
+                weights[name2idx[name]] = ji.weight_multiplier
+                active = True
+            else:
+                print(f"Warning: important joint '{name}' not found in model joints")
+
+    il = cfg.ignored_joint_locations
+    if il.enabled and il.ignored_joint_names:
+        for name in il.ignored_joint_names:
+            if name in name2idx:
+                weights[name2idx[name]] = 0.0
+                active = True
+            else:
+                print(f"Warning: ignored joint location '{name}' not found in model joints")
+
+    return weights if active else None
+
+
+def resolve_ignored_joint_indices(cfg: TrainingConfig, joint_names) -> List[int]:
+    """Indices of ``ignored_joints`` (rotation/visibility ignore) — consumed at
+    preprocessing time by zeroing keypoint visibility (reference
+    dataset_preprocessing.py:108-137 _setup_ignored_joints_mapping)."""
+    name2idx = {n: i for i, n in enumerate(joint_names)}
+    out = []
+    for name in cfg.ignored_joints.ignored_joint_names:
+        if name in name2idx:
+            out.append(name2idx[name])
+            if cfg.ignored_joints.verbose:
+                print(f"Will ignore joint '{name}' (index {name2idx[name]}) during preprocessing")
+        else:
+            print(f"Warning: ignored joint '{name}' not found in model joint names")
+    return out
+
+
 def resolve_model_spec(cfg: TrainingConfig, default_path: Optional[str] = None):
     """Explicit replacement for the reference's apply_smal_file_override
     (config_utils.py:238): build the ModelSpec from the configured pkl."""
