@@ -8,16 +8,18 @@ silhouette + 2D-keypoint + prior losses — the reference's
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-``vs_baseline`` compares against the reference implementation's estimated
-full-step CPU throughput of 0.15 it/s. Basis (tools/measure_reference_baseline.py,
-measured on this host 2026-08-16): the reference's torch-CPU SMAL
-forward+backward alone runs at 34.4 steps/s (29.0 ms) — its PyTorch3D naive
-soft rasterizer at faces_per_pixel=100 over 512² (≈1.5e9 point-triangle
-tests fwd+bwd) adds multiple seconds per iteration on CPU, bounding the full
-step well below 0.2 it/s. Like-for-like measured component ratios on this
-chip: SMIL forward 22× (0.58 ms vs 13.0 ms), forward+backward 31×
-(0.95 ms vs 29.0 ms) at batch 1; at batch 8 per-sample forward+backward is
-35× (0.14 ms vs 4.93 ms). The reference publishes no GPU numbers (BASELINE.md).
+``vs_baseline`` compares against the reference implementation's **measured**
+full-step throughput on this host: tools/measure_reference_baseline.py runs
+the reference's own torch SMAL forward plus a faithful torch implementation
+of its PyTorch3D soft-silhouette rasterizer (sigma=gamma=1e-4,
+blur=log(1/1e-4−1)·σ, faces_per_pixel=100 z-nearest selection, bin_size=0 —
+``p3d_renderer.py:41-52``) through the same loss suite + Adam step. Measured
+2026-08-16 on this host (torch CPU, all cores): 413.9 s/iter = 0.00242 it/s
+(tools/reference_baseline.json). The reference publishes no GPU numbers
+(BASELINE.md) and PyTorch3D cannot be installed here, so CPU is the only
+measurable reference. Like-for-like *component* ratios on this chip (same
+file): SMIL forward 22× (0.58 ms vs 13.0 ms), forward+backward 31× at batch 1,
+35× per-sample at batch 8 — the full-step ratio is dominated by the raster.
 """
 
 import json
@@ -30,10 +32,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Reference CPU baseline for the same optimization step (it/s). The reference
-# publishes no numbers (BASELINE.md); this figure is the documented estimate of
-# the torch-CPU fitter step at 512² with faces_per_pixel=100 on this host class.
-REFERENCE_BASELINE_ITERS_PER_SEC = 0.15
+# Measured reference full-step throughput (see module docstring). Read from
+# tools/reference_baseline.json when present so re-measuring updates the bench.
+REFERENCE_BASELINE_ITERS_PER_SEC = 0.00242
+_ref_json = os.path.join(os.path.dirname(__file__), "tools", "reference_baseline.json")
+if os.path.exists(_ref_json):
+    try:
+        with open(_ref_json) as _f:
+            REFERENCE_BASELINE_ITERS_PER_SEC = float(
+                json.load(_f)["full_step_512_iters_per_sec"]
+            )
+    except (KeyError, ValueError):
+        pass
 
 _MODEL = "/root/reference/3D_model_prep/SMILy_STICK.pkl"
 IMAGE_SIZE = (512, 512)

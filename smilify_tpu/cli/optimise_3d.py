@@ -116,6 +116,8 @@ def main(argv=None):
 
         mgr.run(callback=cb)
         out = mgr.save_npz(os.path.join(results_dir, f"batch_{b}"), final_stage)
+        mgr.plot_losses(os.path.join(results_dir, f"batch_{b}"))
+        mgr.plot_loss_components(os.path.join(results_dir, f"batch_{b}"))
         print(f"batch {b}: saved {out}")
 
     if len(batches) > 1:

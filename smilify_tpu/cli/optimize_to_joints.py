@@ -34,6 +34,18 @@ def main(argv=None):
     ap.add_argument("--image-range", type=int, nargs=2, default=None, metavar=("LO", "HI"))
     ap.add_argument("--test", action="store_true", help="10-iteration test schedule")
     ap.add_argument("--limb-scaling", action="store_true", default=True)
+    ap.add_argument("--unity-prior", default=None, metavar="NPZ",
+                    help="unity shape-prior npz (reference use_unity_prior, fitter.py:86-107)")
+    ap.add_argument("--walking-prior", default=None, metavar="PKL",
+                    help="walking pose-prior pkl (reference priors/pose_prior_35.py)")
+    ap.add_argument("--texture", action="store_true",
+                    help="rgb/texture collage: overlay the hard-Phong render "
+                         "(reference rgb_only mode, fitter.py:57 + p3d_renderer.py:54-70)")
+    ap.add_argument("--load-checkpoint", default=None, metavar="DIR",
+                    help="reload per-frame st{N}_ep{M}.pkl params from a previous run "
+                         "(reference fitter.load_checkpoint, fitter.py:352-371)")
+    ap.add_argument("--checkpoint-stage", type=int, default=10)
+    ap.add_argument("--checkpoint-epoch", default="0")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -76,7 +88,29 @@ def main(argv=None):
         joints=jnp.asarray(joints),
         visibility=jnp.asarray(vis),
     )
-    fitter = SmalFitter(spec, data, (H, W), allow_limb_scaling=args.limb_scaling)
+    pose_prior = shape_prior = None
+    if args.walking_prior:
+        from smilify_tpu.fitter.priors import walking_pose_prior
+
+        pose_prior = walking_pose_prior(args.walking_prior)
+    if args.unity_prior:
+        from smilify_tpu.fitter.priors import unity_shape_prior
+
+        shape_prior = unity_shape_prior(args.unity_prior, n_betas=spec.n_betas)
+
+    fitter = SmalFitter(spec, data, (H, W), allow_limb_scaling=args.limb_scaling,
+                        pose_prior=pose_prior, shape_prior=shape_prior)
+
+    if args.load_checkpoint:
+        from smilify_tpu.fitter.fitter import FitParams
+        from smilify_tpu.utils.export import load_fitter_checkpoint
+
+        ck = load_fitter_checkpoint(args.load_checkpoint, filenames,
+                                    args.checkpoint_stage, args.checkpoint_epoch)
+        fitter.params = FitParams(**{k: jnp.asarray(v) for k, v in ck.items()})
+        print(f"resumed params from {args.load_checkpoint} "
+              f"(st{args.checkpoint_stage}_ep{args.checkpoint_epoch})")
+
     exporter = ImageExporter(out_dir, filenames)
     schedule = test_schedule() if args.test else OPT_WEIGHTS
 
@@ -87,9 +121,20 @@ def main(argv=None):
         for i in range(fitter.n_frames):
             cam = default_camera().replace(fov=fitter.params.fov[i])
             sil_r, kp_yx = render_frame(spec, cam, verts[i], joints3d[i], (H, W))
+            if args.texture:
+                # rgb/texture collage: hard-Phong render instead of the soft
+                # silhouette panel (reference rgb_only, p3d_renderer.py:54-70)
+                from smilify_tpu.render.phong import render_phong
+
+                pv = cam.world_to_view(verts[i])
+                ndc = jnp.concatenate([cam.view_to_ndc(pv)[:, :2], pv[:, 2:3]], axis=1)
+                shaded = np.asarray(render_phong(verts[i], pv, ndc, spec.faces, (H, W)))
+                render_panel = shaded
+            else:
+                render_panel = np.repeat(np.asarray(sil_r)[..., None], 3, axis=-1)
             collage = fit_collage(
                 rgb[i],
-                np.repeat(np.asarray(sil_r)[..., None], 3, axis=-1),
+                render_panel,
                 sil[i],
                 np.asarray(sil_r),
                 joints[i],

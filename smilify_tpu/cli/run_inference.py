@@ -139,7 +139,12 @@ def main(argv=None):
 
     if args.smooth_window and args.smooth_window > 1:
         smoother = PredictionSmoother(args.smooth_window)
-        smooth_keys = [k for k in ("global_rot", "joint_rot", "trans", "betas") if k in traj]
+        # rotations smooth in rotation space; cameras (fov/R/t) smooth too
+        # (reference PredictionSmoother covers camera params as well)
+        smooth_keys = [k for k in ("global_rot", "joint_rot", "trans", "betas",
+                                   "fov", "cam_rot", "cam_trans",
+                                   "view_fov", "view_cam_rot", "view_cam_trans")
+                       if k in traj]
         traj = smoother.smooth_params(traj, smooth_keys)
         print(f"smoothed {smooth_keys} with window {args.smooth_window}")
 

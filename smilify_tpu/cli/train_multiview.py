@@ -24,6 +24,8 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--output-dir", default="runs/multiview")
     ap.add_argument("--resume", default=None, help="checkpoint name/path to resume")
+    ap.add_argument("--allow-random-backbone", action="store_true",
+                    help="permit freeze_backbone=true without model.pretrained_npz")
     ap.add_argument("--set", nargs="*", default=None)
     args = ap.parse_args(argv)
 
@@ -97,6 +99,12 @@ def main(argv=None):
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
+    from smilify_tpu.models.weight_port import apply_pretrained_policy
+
+    params, batch_stats = apply_pretrained_policy(
+        cfg, params, batch_stats, allow_random_backbone=args.allow_random_backbone
+    )
+
     mesh = data_mesh()
     n_dev = len(mesh.devices.reshape(-1))
     bs = max(n_dev, (cfg.training.batch_size // n_dev) * n_dev)
@@ -141,13 +149,27 @@ def main(argv=None):
             print(f"epoch {epoch}: lr={lr} frozen_backbone={frozen}")
 
         losses = []
+        skipped = 0
         for batch in iterate_batches(train_ds, bs, host_rng, fraction=cfg.dataset.dataset_fraction,
-                                     collate=collate_multiview):
-            batch = shard_batch(mesh, batch)
-            state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
-                state.params, state.batch_stats, state.opt_state, batch
-            )
-            losses.append(float(loss))
+                                     collate=collate_multiview,
+                                     num_workers=cfg.training.num_workers,
+                                     prefetch=cfg.training.prefetch_factor,
+                                     skip_errors=True):
+            # per-batch resilience: one bad sample (corrupt JPEG, NaN labels)
+            # must not kill a long run (reference train_multiview_regressor.py:606)
+            try:
+                batch = shard_batch(mesh, batch)
+                state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
+                    state.params, state.batch_stats, state.opt_state, batch
+                )
+                losses.append(float(loss))
+            except Exception as e:  # noqa: BLE001
+                skipped += 1
+                print(f"warning: skipped batch ({type(e).__name__}: {e})")
+                if skipped > max(4, len(losses)):
+                    raise  # systematically failing — surface the real error
+        if skipped:
+            print(f"epoch {epoch}: skipped {skipped} failing batches")
         if not losses:
             raise SystemExit("no batches — dataset smaller than batch size?")
         state.epoch = epoch
@@ -167,7 +189,23 @@ def main(argv=None):
                 state.history[-1]["val_loss"] = float(np.mean(val_losses))
                 print(f"epoch {epoch}: val_loss {state.history[-1]['val_loss']:.5f}")
 
-        if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or epoch == cfg.training.num_epochs - 1:
+        last_epoch = epoch == cfg.training.num_epochs - 1
+        if (epoch + 1) % cfg.output.generate_visualizations_every == 0 or last_epoch:
+            from smilify_tpu.train.train_viz import epoch_visualization
+
+            viz_ds = val_ds if len(val_ds) else train_ds
+            vb = collate_multiview([viz_ds[i] for i in
+                                    range(min(cfg.output.num_visualization_samples, len(viz_ds)))])
+            ief_metrics = epoch_visualization(
+                spec, apply_fn, state.params, state.batch_stats, vb, (H, W),
+                args.output_dir, epoch, multiview=True,
+            )
+            state.history[-1].update(ief_metrics)
+            if ief_metrics:
+                tail = {k: round(v, 5) for k, v in list(ief_metrics.items())[:3]}
+                print(f"epoch {epoch}: ief deltas {tail} (collages → visualizations/)")
+
+        if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or last_epoch:
             save_checkpoint(args.output_dir, state, cfg, name="final_model")
             from smilify_tpu.train.trainer import plot_training_history
 

@@ -41,7 +41,16 @@ def build_dataset(cfg, spec):
     if kind == "replicant_raw":
         return ReplicantDataset(path, spec.joint_names, image_size=res), kind
     if kind.endswith("multiview") or kind == "sleap_multiview":
-        return MultiViewHDF5Dataset(path, num_views_to_use=cfg.multiview.num_views_to_use), kind
+        # single-view-from-multiview training: one view per item, optionally
+        # every view (expand_all_views) and camera-anchored GT (camera_centric)
+        # — reference sleap_multiview_dataset.py:48,67-72,298
+        return MultiViewHDF5Dataset(
+            path,
+            return_single_view=True,
+            camera_centric=cfg.dataset.frame_convention == "camera_centric",
+            expand_all_views=cfg.dataset.expand_all_views,
+            seed=cfg.training.seed,
+        ), kind
     return SingleViewHDF5Dataset(path), kind
 
 
@@ -53,6 +62,8 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--output-dir", default="runs/singleview")
     ap.add_argument("--resume", default=None, help="checkpoint name/path to resume")
+    ap.add_argument("--allow-random-backbone", action="store_true",
+                    help="permit freeze_backbone=true without model.pretrained_npz")
     ap.add_argument("--set", nargs="*", default=None, help="dotted config overrides a.b=c")
     args = ap.parse_args(argv)
 
@@ -95,11 +106,15 @@ def main(argv=None):
     dataset, kind = build_dataset(cfg, spec)
     print(f"dataset: {kind}, {len(dataset)} samples; model J={spec.n_joints} B={spec.n_betas}")
 
-    tr_idx, val_idx, te_idx = split_dataset(
-        len(dataset),
-        (cfg.dataset.train_ratio, cfg.dataset.val_ratio, cfg.dataset.test_ratio),
-        cfg.training.seed,
-    )
+    ratios = (cfg.dataset.train_ratio, cfg.dataset.val_ratio, cfg.dataset.test_ratio)
+    if getattr(dataset, "item_sample_indices", None) is not None:
+        from smilify_tpu.train.trainer import split_dataset_grouped
+
+        tr_idx, val_idx, te_idx = split_dataset_grouped(
+            dataset.item_sample_indices, ratios, cfg.training.seed
+        )
+    else:
+        tr_idx, val_idx, te_idx = split_dataset(len(dataset), ratios, cfg.training.seed)
     train_ds = SubsetDataset(dataset, tr_idx)
     val_ds = SubsetDataset(dataset, val_idx)
     print(f"split: {len(train_ds)} train / {len(val_ds)} val / {len(te_idx)} test")
@@ -111,6 +126,12 @@ def main(argv=None):
     variables = model.init(rng, sample_imgs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+
+    from smilify_tpu.models.weight_port import apply_pretrained_policy
+
+    params, batch_stats = apply_pretrained_policy(
+        cfg, params, batch_stats, allow_random_backbone=args.allow_random_backbone
+    )
 
     mesh = data_mesh()
     n_dev = len(mesh.devices.reshape(-1))
@@ -129,6 +150,7 @@ def main(argv=None):
         )
         raw, history = out
         preds = decode_predictions(rcfg, raw, spec)
+        preds["ief_history"] = history
         new_stats = mutated.get("batch_stats", variables.get("batch_stats", {})) if train else None
         return preds, new_stats
 
@@ -181,13 +203,26 @@ def main(argv=None):
             print(f"epoch {epoch}: lr={lr} frozen_backbone={frozen}")
 
         epoch_losses = []
+        skipped = 0
         for batch in iterate_batches(train_ds, bs, host_rng,
-                                     fraction=cfg.dataset.dataset_fraction):
-            batch = shard_batch(mesh, batch)
-            state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
-                state.params, state.batch_stats, state.opt_state, batch
-            )
-            epoch_losses.append(float(loss))
+                                     fraction=cfg.dataset.dataset_fraction,
+                                     num_workers=cfg.training.num_workers,
+                                     prefetch=cfg.training.prefetch_factor,
+                                     skip_errors=True):
+            # per-batch resilience (reference train_multiview_regressor.py:606)
+            try:
+                batch = shard_batch(mesh, batch)
+                state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
+                    state.params, state.batch_stats, state.opt_state, batch
+                )
+                epoch_losses.append(float(loss))
+            except Exception as e:  # noqa: BLE001
+                skipped += 1
+                print(f"warning: skipped batch ({type(e).__name__}: {e})")
+                if skipped > max(4, len(epoch_losses)):
+                    raise
+        if skipped:
+            print(f"epoch {epoch}: skipped {skipped} failing batches")
         if not epoch_losses:
             raise SystemExit("no batches — dataset smaller than batch size?")
         mean_loss = float(np.mean(epoch_losses))
@@ -208,12 +243,24 @@ def main(argv=None):
                 state.history[-1]["val_loss"] = float(np.mean(val_losses))
                 print(f"epoch {epoch}: val_loss {state.history[-1]['val_loss']:.5f}")
 
-        if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or epoch == cfg.training.num_epochs - 1:
+        last_epoch = epoch == cfg.training.num_epochs - 1
+        if (epoch + 1) % cfg.output.generate_visualizations_every == 0 or last_epoch:
+            from smilify_tpu.data.hdf5_dataset import collate_multiview as collate_plain
+            from smilify_tpu.train.train_viz import epoch_visualization
+
+            viz_ds = val_ds if len(val_ds) else train_ds
+            vb = collate_plain([viz_ds[i] for i in
+                                range(min(cfg.output.num_visualization_samples, len(viz_ds)))])
+            if "image" in vb:
+                ief_metrics = epoch_visualization(
+                    spec, apply_fn, state.params, state.batch_stats, vb, (res, res),
+                    args.output_dir, epoch, multiview=False,
+                )
+                state.history[-1].update(ief_metrics)
+
+        if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or last_epoch:
             path = save_checkpoint(args.output_dir, state, cfg, name=f"epoch_{epoch}")
             save_checkpoint(args.output_dir, state, cfg, name="final_model")
-            from smilify_tpu.train.trainer import plot_training_history
-
-            plot_training_history(state.history, os.path.join(args.output_dir, "plots"))
             from smilify_tpu.train.trainer import plot_training_history
 
             plot_training_history(state.history, os.path.join(args.output_dir, "plots"))

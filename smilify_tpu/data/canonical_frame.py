@@ -46,6 +46,45 @@ def canonicalize_sample(
     return R_new, t_new, kp3d_new, R0, t0, v0
 
 
+RZ_180 = np.diag([-1.0, -1.0, 1.0])
+
+
+def rotate_axis_angle_left(aa: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """Compose a rotation matrix on the left of an axis-angle: aa(M @ R(aa))."""
+    import cv2
+
+    R = cv2.Rodrigues(np.asarray(aa, np.float64).reshape(3, 1))[0]
+    return cv2.Rodrigues(np.asarray(M, np.float64) @ R)[0].reshape(3)
+
+
+def recanonicalize_single_view(R_cv: np.ndarray, t_cv: np.ndarray, kp3d: np.ndarray):
+    """Re-express ONE chosen camera as the world origin (camera-at-origin).
+
+    The single-view-from-multiview convention (reference
+    ``canonical_frame.recanonicalize_single_view`` used at
+    ``sleap_multiview_dataset.py:717``): anchor the world on the sampled view,
+    then rotate by Rz(180°) so the resulting OpenCV camera ``(Rz180, 0)`` maps
+    to the renderer-identity camera ``(R=I, T=0)`` through the OpenCV→renderer
+    conversion. 3D keypoints land in the frame the trainer's mesh
+    (``verts + trans``) lives in; (0,0,0) sentinels are preserved.
+
+    Returns ``(kp3d_view, R_cv_out, t_cv_out, M, b)`` where ``M = Rz180 @ R0``
+    and ``b = Rz180 @ t0`` move world-frame root pose into the view frame:
+    ``root_loc' = M @ root_loc + b``, ``global_rot' = M ∘ global_rot``.
+    """
+    R1 = np.asarray(R_cv, np.float64).reshape(1, 3, 3)
+    t1 = np.asarray(t_cv, np.float64).reshape(1, 3)
+    _R_c, _t_c, kp3d_c, R0, t0, _ = canonicalize_sample(
+        R1, t1, kp3d, np.array([True])
+    )
+    kp3d_view = kp3d_c.copy()
+    nonzero = ~np.all(kp3d_c == 0.0, axis=1)
+    kp3d_view[nonzero] = kp3d_c[nonzero] @ RZ_180.T
+    M = RZ_180 @ R0
+    b = RZ_180 @ t0
+    return kp3d_view, RZ_180.copy(), np.zeros(3), M, b
+
+
 def decanonicalize_points(kp3d_can: np.ndarray, R0: np.ndarray, t0: np.ndarray) -> np.ndarray:
     """Inverse transform: X_world = R0ᵀ (X_can − t0); zero sentinels preserved."""
     out = kp3d_can.copy().astype(np.float64)

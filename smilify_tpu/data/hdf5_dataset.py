@@ -209,6 +209,10 @@ class MultiViewHDF5Dataset:
         view_sampling: str = "random",
         seed: int = 0,
         world_scale: Optional[float] = None,
+        return_single_view: bool = False,
+        preferred_view: int = 0,
+        camera_centric: bool = False,
+        expand_all_views: bool = False,
     ):
         import h5py
 
@@ -216,6 +220,10 @@ class MultiViewHDF5Dataset:
         self._file = None
         self.num_views_to_use = num_views_to_use
         self.view_sampling = view_sampling
+        self.return_single_view = return_single_view
+        self.preferred_view = preferred_view
+        self.camera_centric = camera_centric
+        self.expand_all_views = expand_all_views
         self.rng = np.random.default_rng(seed)
         with h5py.File(path, "r") as f:
             m = dict(f["metadata"].attrs)
@@ -235,6 +243,17 @@ class MultiViewHDF5Dataset:
                 else (0.001 if (norms.size and np.median(norms) > 50.0) else 1.0)
             )
 
+        if self.return_single_view and self.expand_all_views:
+            # flat per-view index (reference expand_all_views,
+            # sleap_multiview_dataset.py:298): every valid view is an item;
+            # item_sample_indices keeps splits at the sample level so no view
+            # leaks across train/val/test
+            with h5py.File(path, "r") as f:
+                vm = f["multiview_images/view_mask"][:]
+            self._sv_items = [(int(s), int(v))
+                              for s in range(vm.shape[0]) for v in np.nonzero(vm[s])[0]]
+            self.item_sample_indices = np.asarray([s for s, _ in self._sv_items], np.int64)
+
     @property
     def file(self):
         import h5py
@@ -244,6 +263,8 @@ class MultiViewHDF5Dataset:
         return self._file
 
     def __len__(self):
+        if self.return_single_view and self.expand_all_views:
+            return len(self._sv_items)
         return self.num_samples
 
     def _select_views(self, valid_ids):
@@ -254,7 +275,76 @@ class MultiViewHDF5Dataset:
             return np.sort(self.rng.choice(valid_ids, size=n, replace=False))
         return valid_ids[:n]
 
+    def _get_single_view(self, idx: int) -> Dict[str, np.ndarray]:
+        """One (sample, view) pair as a single-view training sample
+        (reference return_single_view / camera_centric modes,
+        sleap_multiview_dataset.py:48,67-72,298)."""
+        import jax.numpy as jnp
+
+        from smilify_tpu.data.canonical_frame import (
+            recanonicalize_single_view,
+            rotate_axis_angle_left,
+        )
+        from smilify_tpu.render.cameras import camera_from_opencv
+
+        f = self.file
+        if self.expand_all_views:
+            s, v = self._sv_items[idx]
+        else:
+            s = idx
+            valid = np.nonzero(f["multiview_images/view_mask"][idx])[0]
+            if len(valid) == 0:
+                raise IndexError(f"sample {idx} has no valid views")
+            v = self.preferred_view if self.preferred_view in valid else int(valid[0])
+
+        ws = self.world_scale
+        img = decode_jpeg(f[f"multiview_images/image_jpeg_view_{v}"][s]).astype(np.float32) / 255.0
+        K = f["multiview_keypoints/camera_intrinsics"][s, v].astype(np.float64)
+        R_cv = f["multiview_keypoints/camera_extrinsics_R"][s, v].astype(np.float64)
+        t_cv = f["multiview_keypoints/camera_extrinsics_t"][s, v].astype(np.float64) * ws
+        size = f["multiview_keypoints/image_sizes"][s, v].astype(np.int32)
+        kp3d = f["multiview_keypoints/keypoints_3d"][s].astype(np.float64) * ws
+
+        sample = {
+            "image": img,
+            "keypoints_2d": f["multiview_keypoints/keypoints_2d"][s, v].astype(np.float32),
+            "keypoint_visibility":
+                f["multiview_keypoints/keypoint_visibility"][s, v].astype(np.float32),
+            "has_3d_data": bool(f["auxiliary/has_3d_data"][s]),
+            "joint_rot": f["parameters/joint_rot"][s],
+            "betas": f["parameters/betas"][s],
+            "has_pose": bool(f["auxiliary/has_ground_truth_betas"][s]),
+            "frame_idx": int(f["auxiliary/frame_idx"][s]),
+            "sample_idx": s,
+            "view_idx": v,
+        }
+        g_rot = f["parameters/global_rot"][s].astype(np.float64)
+        trans = f["parameters/trans"][s].astype(np.float64) * ws
+
+        if self.camera_centric:
+            kp3d_v, R_out, t_out, M, b = recanonicalize_single_view(R_cv, t_cv, kp3d)
+            sample["keypoints_3d"] = kp3d_v.astype(np.float32)
+            sample["global_rot"] = rotate_axis_angle_left(g_rot, M).astype(np.float32)
+            sample["trans"] = (M @ trans + b).astype(np.float32)
+            R_cv, t_cv = R_out, t_out
+        else:
+            sample["keypoints_3d"] = kp3d.astype(np.float32)
+            sample["global_rot"] = g_rot.astype(np.float32)
+            sample["trans"] = trans.astype(np.float32)
+
+        cam = camera_from_opencv(
+            jnp.asarray(R_cv, jnp.float32), jnp.asarray(t_cv, jnp.float32),
+            jnp.asarray(K, jnp.float32), (int(size[1]), int(size[0]))
+            if size[0] and size[1] else (img.shape[0], img.shape[1]),
+        )
+        sample["fov"] = np.asarray([float(cam.fov)], np.float32)
+        sample["cam_rot"] = np.asarray(cam.R, np.float32).reshape(-1)
+        sample["cam_trans"] = np.asarray(cam.T, np.float32)
+        return sample
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if self.return_single_view:
+            return self._get_single_view(idx)
         f = self.file
         vm_full = f["multiview_images/view_mask"][idx]
         valid = np.nonzero(vm_full)[0]
@@ -417,6 +507,17 @@ def write_singleview_hdf5(
         for k, vals in params.items():
             if len(vals) == N:
                 gp.create_dataset(k, data=np.stack(vals))
+        # provenance + optional extra supervision (reference auxiliary group)
+        for key, dtype in (("session_name", None), ("camera_name", None)):
+            if all(s.get(key) is not None for s in samples):
+                ga.create_dataset(key, data=np.asarray([str(s[key]) for s in samples],
+                                                       dtype=h5py.string_dtype()))
+        if all(s.get("frame_idx") is not None for s in samples):
+            ga.create_dataset("frame_idx",
+                              data=np.asarray([int(s["frame_idx"]) for s in samples], np.int64))
+        if all(s.get("keypoints_3d_sleap") is not None for s in samples):
+            ga.create_dataset("keypoints_3d_sleap",
+                              data=np.stack([s["keypoints_3d_sleap"] for s in samples]))
         gm.attrs["num_samples"] = N
         gm.attrs["n_joints"] = K
         gm.attrs["target_resolution"] = target_resolution

@@ -73,7 +73,8 @@ def crop_and_resize(
             y_start = max(0, y_start - (y_end - H))
             y_end = H
         y0, x0 = int(y_start), int(x_start)
-        img = image[y0 : int(y_end), x0 : int(x_end)]
+        # ceil the crop ends so keypoints on the bbox edge stay inside
+        img = image[y0 : int(np.ceil(y_end)), x0 : int(np.ceil(x_end))]
         s = target_resolution / max(img.shape[:2])
         sy = sx = s
         crop = None

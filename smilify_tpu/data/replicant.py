@@ -126,6 +126,68 @@ def compute_keypoint_visibility(
     return vis
 
 
+def refine_visibility_with_depth(
+    visibility: np.ndarray,
+    keypoints_norm_yx: np.ndarray,
+    keypoints_3d_world_raw: np.ndarray,
+    camera_location_world_raw: np.ndarray,
+    depth_image: Optional[np.ndarray],
+    width: int,
+    height: int,
+    depth_max_cm: float = 1000.0,
+    depth_tolerance_cm: float = 5.0,
+    neighborhood: int = 1,
+) -> np.ndarray:
+    """Depth-buffer self-occlusion refinement (reference
+    ``Unreal2Pytorch3D.py:664``): replicAnt's depth pass stores the
+    camera-to-surface distance in cm in the red channel of an 8-bit PNG via
+    ``surface_cm = (R/255) · depth_max_cm``. A joint whose true camera
+    distance exceeds the front-most surface distance (min over a small pixel
+    neighborhood) by more than the tolerance is self-occluded.
+
+    Monotone: can only turn 1.0 → 0.0. Joints already invisible, without 3D
+    GT (NaN), or out of frame are skipped. Raw Unreal world frame (cm, no
+    axis mirroring) for both the keypoints and the camera location.
+    """
+    if depth_image is None:
+        return visibility
+    if depth_image.ndim == 3:
+        depth = depth_image[..., 0].astype(np.float64)
+    else:
+        depth = depth_image.astype(np.float64)
+    if depth.shape != (height, width):
+        return visibility
+
+    vis = np.asarray(visibility, np.float32)
+    kp = np.asarray(keypoints_norm_yx, np.float64)
+    p3 = np.asarray(keypoints_3d_world_raw, np.float64)
+    cam = np.asarray(camera_location_world_raw, np.float64)
+
+    active = (
+        (vis > 0)
+        & np.isfinite(p3).all(axis=1)
+        & np.isfinite(kp).all(axis=1)
+        & (kp[:, 0] >= 0) & (kp[:, 0] <= 1) & (kp[:, 1] >= 0) & (kp[:, 1] <= 1)
+    )
+    if not active.any():
+        return vis
+
+    rows = np.clip((kp[:, 0] * height).astype(int), 0, height - 1)
+    cols = np.clip((kp[:, 1] * width).astype(int), 0, width - 1)
+    if neighborhood > 0:
+        import scipy.ndimage as ndi
+
+        depth_min = ndi.minimum_filter(depth, size=2 * neighborhood + 1, mode="nearest")
+    else:
+        depth_min = depth
+    surface_cm = depth_min[rows, cols] / 255.0 * depth_max_cm
+    dist_cm = np.linalg.norm(p3 - cam, axis=1)
+    occluded = active & (dist_cm > surface_cm + depth_tolerance_cm)
+    vis = vis.copy()
+    vis[occluded] = 0.0
+    return vis
+
+
 _MIRROR_X = np.diag([-1.0, 1.0, 1.0])
 _RZ_PI = np.array([[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, 1.0]])
 
@@ -224,7 +286,29 @@ def load_smil_unreal_sample(
         kp2d.append([entry["2DPos"]["y"] / H, entry["2DPos"]["x"] / W])
     kp2d = map_joint_order(joint_names, names2d, np.asarray(kp2d, np.float32))
     y["keypoints_2d"] = kp2d
-    y["keypoint_visibility"] = compute_keypoint_visibility(kp2d, x_output["input_image_mask"], W, H)
+    vis = compute_keypoint_visibility(kp2d, x_output["input_image_mask"], W, H)
+
+    # depth-buffer self-occlusion refinement (ANDed onto the id-mask result)
+    # when the replicAnt depth pass exists next to the frame
+    depth_img = None
+    for suffix in ("_D.png", "_Depth.png"):
+        dp = image_path.replace(".JPG", suffix)
+        if os.path.exists(dp):
+            depth_img = imageio.imread(dp)
+            break
+    if depth_img is not None:
+        # NaN-fill unmapped joints so the refinement skips them (map_joint_order
+        # zero-fill would alias the Unreal origin)
+        kp3d_raw = np.full((len(joint_names), 3), np.nan, np.float64)
+        src = {n: i for i, n in enumerate(names2d)}
+        for o, name in enumerate(joint_names):
+            if name in src:
+                p = pose_data[name]["3DPos"]
+                kp3d_raw[o] = [p["x"], p["y"], p["z"]]
+        cam_loc = data["iterationData"]["camera"]["Location"]
+        cam_loc_raw = np.array([cam_loc["x"], cam_loc["y"], cam_loc["z"]], np.float64)
+        vis = refine_visibility_with_depth(vis, kp2d, kp3d_raw, cam_loc_raw, depth_img, W, H)
+    y["keypoint_visibility"] = vis
 
     # model-centered 3D keypoints: X' = Rz_inv((X − t) R_modelᵀ)
     kp3d = []

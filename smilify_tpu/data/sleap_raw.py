@@ -132,3 +132,138 @@ def read_video_frame(video_path: str, frame_idx: int) -> Optional[np.ndarray]:
         return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
     finally:
         cap.release()
+
+
+class SequentialVideoReader:
+    """One persistent cv2 capture per video with a sequential fast path.
+
+    The reference preprocessor's key performance fix (its
+    ``_process_camera_optimized``: open the video once, sort target frames,
+    read sequentially, seek only on gaps). ``read(idx)`` returns RGB uint8 or
+    None on decode failure (one retry after reopening — codecs occasionally
+    wedge on damaged frames)."""
+
+    def __init__(self, path: str):
+        import cv2
+
+        self.path = path
+        self._cv2 = cv2
+        self._cap = cv2.VideoCapture(path)
+        self._pos = 0
+
+    @property
+    def n_frames(self) -> int:
+        return int(self._cap.get(self._cv2.CAP_PROP_FRAME_COUNT))
+
+    def read(self, frame_idx: int) -> Optional[np.ndarray]:
+        if not self._cap.isOpened():
+            self._reopen()
+        if frame_idx != self._pos:
+            self._cap.set(self._cv2.CAP_PROP_POS_FRAMES, frame_idx)
+            self._pos = frame_idx
+        ok, frame = self._cap.read()
+        if not ok:
+            self._reopen()
+            self._cap.set(self._cv2.CAP_PROP_POS_FRAMES, frame_idx)
+            self._pos = frame_idx
+            ok, frame = self._cap.read()
+            if not ok:
+                return None
+        self._pos += 1
+        return self._cv2.cvtColor(frame, self._cv2.COLOR_BGR2RGB)
+
+    def _reopen(self):
+        try:
+            self._cap.release()
+        except Exception:
+            pass
+        self._cap = self._cv2.VideoCapture(self.path)
+        self._pos = 0
+
+    def close(self):
+        self._cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_skeleton(path: str) -> Tuple[List[str], List[Tuple[int, int]]]:
+    """Skeleton (node names + edge index pairs) from a SLEAP export.
+
+    Analysis .h5 exports carry ``node_names`` + ``edge_inds``; native .slp
+    stores the skeleton in the JSON metadata (links between node ids) —
+    the reference extracts both (root ``sleap_data_loader.py`` skeleton
+    handling)."""
+    import h5py
+    import json
+
+    if not path.endswith(".slp"):
+        with h5py.File(path, "r") as f:
+            names = [n.decode() if isinstance(n, bytes) else str(n) for n in f["node_names"][:]]
+            edges = []
+            if "edge_inds" in f:
+                edges = [(int(a), int(b)) for a, b in f["edge_inds"][:]]
+            return names, edges
+
+    with h5py.File(path, "r") as f:
+        meta = json.loads(f["metadata"].attrs["json"]) if "metadata" in f else {}
+    skel = (meta.get("skeletons") or [{}])[0]
+    node_ids = [n.get("id") for n in skel.get("nodes", [])]
+    id_to_slot = {nid: i for i, nid in enumerate(node_ids)}
+    name_map = {}
+    for link in meta.get("nodes", []):
+        name_map[link.get("id")] = link.get("name", str(link.get("id")))
+    names = [name_map.get(i, str(i)) for i in node_ids]
+    edges = []
+    for e in skel.get("links", []):
+        a, b = e.get("source"), e.get("target")
+        if a in id_to_slot and b in id_to_slot:
+            edges.append((id_to_slot[a], id_to_slot[b]))
+    return names, edges
+
+
+def read_joint_lookup_csv(path: str) -> dict:
+    """``sleap_name,model_joint_name`` CSV → mapping dict (reference
+    joint_lookup.csv consumed at ``preprocess_sleap_multiview_dataset.py:859``).
+    Lines with an empty model name drop that SLEAP node."""
+    import csv
+
+    out = {}
+    with open(path, newline="") as f:
+        reader = csv.reader(f)
+        rows = list(reader)
+    start = 1 if rows and rows[0] and rows[0][0].strip().lower() in (
+        "sleap_name", "sleap", "source", "node") else 0
+    for row in rows[start:]:
+        if not row or not row[0].strip():
+            continue
+        out[row[0].strip()] = row[1].strip() if len(row) > 1 else ""
+    return out
+
+
+def map_keypoints_to_model(points: np.ndarray, scores: np.ndarray,
+                           node_names: List[str], model_joint_names: List[str],
+                           lookup: Optional[dict] = None):
+    """Reorder SLEAP keypoints into model-joint order.
+
+    Matching: explicit lookup table first, then case-insensitive name match.
+    Unmapped model joints become NaN/score-0 (invisible). Returns
+    ((F, J, 2), (F, J)) arrays."""
+    F = points.shape[0]
+    J = len(model_joint_names)
+    out = np.full((F, J, 2), np.nan, np.float64)
+    out_s = np.zeros((F, J), np.float32)
+    lower_model = {str(n).lower(): j for j, n in enumerate(model_joint_names)}
+    for k, node in enumerate(node_names):
+        target = (lookup or {}).get(node, node)
+        if not target:
+            continue
+        j = lower_model.get(str(target).lower())
+        if j is None:
+            continue
+        out[:, j] = points[:, k]
+        out_s[:, j] = scores[:, k]
+    return out, out_s

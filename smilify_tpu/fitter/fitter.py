@@ -139,15 +139,25 @@ def forward_losses(
     if canonical_joints is not None:
         joints3d = joints3d[:, canonical_joints]
 
-    def render_one(fov, v, j):
+    render_sil = weights.w_reproj > 0 and data.sil is not None
+
+    def project_one(fov, v, j):
+        """Per-frame camera math (cheap); silhouettes rasterize batched below."""
         cam = default_camera().replace(fov=fov)
-        return render_frame(
-            spec, cam, v, j, image_size,
-            render_sil=weights.w_reproj > 0 and data.sil is not None,
+        proj_yx = cam.project_points_yx(j, image_size)
+        pts_view = cam.world_to_view(v)
+        ndc = cam.view_to_ndc(pts_view)
+        verts_ndc = jnp.concatenate([ndc[:, :2], pts_view[:, 2:3]], axis=1)
+        return verts_ndc, proj_yx
+
+    verts_ndc, joints_r = jax.vmap(project_one)(params.fov, verts, joints3d)
+    sil_r = None
+    if render_sil:
+        # one batched rasterizer call — frames ride the kernel grid, not vmap
+        sil_r = soft_silhouette(
+            verts_ndc, spec.faces, image_size, znear=default_camera().znear,
             use_pallas=use_pallas, interpret=interpret,
         )
-
-    sil_r, joints_r = jax.vmap(render_one)(params.fov, verts, joints3d)
 
     vis = (
         visibility_override if visibility_override is not None else data.visibility

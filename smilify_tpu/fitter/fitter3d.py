@@ -319,6 +319,61 @@ class StageManager:
                     callback(stage.name, it, float(loss), objs)
         return self.params
 
+    def plot_losses(self, out_dir: str, name: str = "losses"):
+        """Semilog total-loss curve across all stages on one axis
+        (reference StageManager.plot_losses, trainer.py:529-547)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(out_dir, exist_ok=True)
+        fig, ax = plt.subplots()
+        it0 = 0
+        for stage in self.stages:
+            totals = [sum(h.values()) for h in stage.loss_history]
+            if totals:
+                ax.semilogy(np.arange(it0, it0 + len(totals)), totals, label=stage.name)
+            it0 += len(totals)
+        ax.set_xlabel("iteration")
+        ax.set_ylabel("total loss")
+        ax.legend()
+        path = os.path.join(out_dir, f"{name}.png")
+        fig.tight_layout()
+        fig.savefig(path)
+        plt.close(fig)
+        return path
+
+    def plot_loss_components(self, out_dir: str, name: str = "loss_components"):
+        """Per-component semilog subplots across stages
+        (reference StageManager.plot_loss_components, trainer.py:549-583)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(out_dir, exist_ok=True)
+        components = sorted({k for s in self.stages for h in s.loss_history for k in h})
+        if not components:
+            return None
+        fig, axes = plt.subplots(len(components), 1,
+                                 figsize=(8, 3 * len(components)), squeeze=False)
+        for i, comp in enumerate(components):
+            ax = axes[i][0]
+            it0 = 0
+            for stage in self.stages:
+                vals = [h[comp] for h in stage.loss_history if comp in h]
+                if vals:
+                    ax.semilogy(np.arange(it0, it0 + len(vals)), vals, label=stage.name)
+                it0 += len(stage.loss_history)
+            ax.set_title(comp)
+            ax.legend()
+        path = os.path.join(out_dir, f"{name}.png")
+        fig.tight_layout()
+        fig.savefig(path)
+        plt.close(fig)
+        return path
+
     def save_npz(self, out_dir: str, stage_name: str = "final"):
         """Export all params + verts + faces + labels (reference save_npz,
         trainer.py:494-508)."""

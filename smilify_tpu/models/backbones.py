@@ -107,12 +107,12 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)  # torch LN default eps
         y = nn.MultiHeadDotProductAttention(num_heads=self.num_heads, dtype=self.dtype)(y, y)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)  # torch LN default eps
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # timm ViT uses exact-erf GELU
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
         return x + y
 
@@ -140,7 +140,7 @@ class ViT(nn.Module):
         x = x + pos.astype(self.dtype)
         for _ in range(self.depth):
             x = TransformerBlock(self.dim, self.num_heads, dtype=self.dtype)(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x).astype(jnp.float32)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x).astype(jnp.float32)
         cls_out = x[:, 0]
         tokens = x[:, 1:]
         spatial = tokens.reshape(B, Hs, Ws, self.dim)

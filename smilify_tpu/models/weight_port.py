@@ -143,6 +143,55 @@ def load_ported_vit(npz_path: str, flax_params: Dict) -> Dict:
     return params
 
 
+def load_pretrained_into_variables(npz_path: str, backbone_name: str,
+                                   params: Dict, batch_stats: Dict):
+    """Route a ported torch dump into the backbone subtree of a regressor
+    parameter tree (the subtree is the auto-named ResNet_*/ViT_* module).
+
+    Returns (params, batch_stats) with the backbone weights replaced.
+    """
+    key = next((k for k in params if k.startswith(("ResNet", "ViT", "UNet"))), None)
+    if key is None:
+        raise ValueError(f"no backbone subtree found among {sorted(params)}")
+    if backbone_name.startswith("resnet"):
+        params = dict(params)
+        params[key] = load_ported_resnet(npz_path, params[key])
+        batch_stats = dict(batch_stats)
+        batch_stats[key] = port_resnet_batch_stats(npz_path, batch_stats[key])
+    elif backbone_name.startswith("vit"):
+        params = dict(params)
+        params[key] = load_ported_vit(npz_path, params[key])
+    else:
+        raise ValueError(
+            f"no torch weight source exists for backbone '{backbone_name}' — "
+            "UNet variants train from scratch (reference builds them from "
+            "timm encoders; dump those and extend the port if needed)"
+        )
+    return params, batch_stats
+
+
+def apply_pretrained_policy(cfg, params: Dict, batch_stats: Dict,
+                            allow_random_backbone: bool = False):
+    """Trainer-side policy (reference default workflow trains a *frozen
+    pretrained* backbone, ``backbone_factory.py:105-118``): load
+    ``model.pretrained_npz`` when set; otherwise refuse to train a frozen
+    random encoder unless explicitly allowed."""
+    if cfg.model.pretrained_npz:
+        params, batch_stats = load_pretrained_into_variables(
+            cfg.model.pretrained_npz, cfg.model.backbone_name, params, batch_stats
+        )
+        print(f"loaded pretrained backbone weights from {cfg.model.pretrained_npz}")
+    elif cfg.model.freeze_backbone and cfg.model.backbone_unfreeze_epoch is None \
+            and not allow_random_backbone:
+        raise SystemExit(
+            "model.freeze_backbone=true with no model.pretrained_npz would train "
+            "a frozen RANDOM encoder. Set model.pretrained_npz (see "
+            "smilify_tpu/models/weight_port.py), set freeze_backbone=false, or "
+            "pass --allow-random-backbone."
+        )
+    return params, batch_stats
+
+
 def _dump_cli():
     """Dump a torchvision/timm state dict to npz (run where torch exists)."""
     import argparse

@@ -194,3 +194,34 @@ def sample_points_from_meshes(
         return pts
     n = cross / jnp.maximum(jnp.linalg.norm(cross, axis=-1, keepdims=True), 1e-12)
     return SampledPoints(points=pts, normals=n[fidx], face_idx=fidx)
+
+
+@partial(jax.jit, static_argnames=("n_neighbors",))
+def compute_thinness_scores(verts: jnp.ndarray, faces: jnp.ndarray,
+                            n_neighbors: int = 50) -> jnp.ndarray:
+    """Per-face 'thinness' score: normal-direction variation among the
+    n_neighbors nearest face centers (reference
+    ``fitter_3d/utils.py:361`` compute_thinness_scores). High variation marks
+    thin / high-curvature regions; used to weight registration losses.
+
+    score_f = 1 − mean_k |n_f · n_k| over the K nearest neighbor faces
+    (absolute dot: opposing normals across a thin wall count as variation in
+    the reference's sense of thinness).
+
+    Accepts (V, 3)/(F, 3) or batched (B, V, 3) with shared faces.
+    """
+    from smilify_tpu.ops.knn import knn_points
+
+    if verts.ndim == 3:
+        return jax.vmap(lambda v: compute_thinness_scores(v, faces, n_neighbors))(verts)
+
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    centers = (v0 + v1 + v2) / 3.0
+    n = jnp.cross(v1 - v0, v2 - v0)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+    K = min(n_neighbors + 1, centers.shape[0])   # +1: nearest neighbor is self
+    res = knn_points(centers, centers, K=K)
+    nn_idx = res.idx[:, 1:]                  # drop self
+    dots = jnp.abs(jnp.sum(n[nn_idx] * n[:, None, :], axis=-1))
+    return 1.0 - jnp.mean(dots, axis=-1)

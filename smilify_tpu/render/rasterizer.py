@@ -8,24 +8,29 @@ as :mod:`rasterizer_ref` (exact log-space SoftRas product over all faces):
     alpha = 1 − exp(−S)
 
 Design (TPU-first — no scalar loops, no dynamic indexing):
-  * the image is split into pixel tiles of 8×128, flattened to 1024 lanes;
-  * faces are packed into chunks of 128 with attributes last — inside the
-    kernel a chunk is processed as 16 statically-unrolled sub-groups of
+  * the image is split into **32×32 pixel tiles** flattened to 1024 lanes —
+    near-square tiles keep the cull window tight in both axes (an 8×128 tile
+    would make x-culling useless: the window spans half the image);
+  * faces are packed into chunks of 512 with attributes last — inside the
+    kernel a chunk is processed as 64 statically-unrolled sub-groups of
     **8 faces on sublanes × 1024 pixels on lanes**, so every op is a full
     (8, 1024) VPU vector op;
-  * the forward grid is (pixel_tiles, face_chunks) with chunks innermost,
-    accumulating S into the revisited output tile;
-  * a host-precomputed (tiles × chunks) **coarse cull mask** (chunk bbox vs
-    tile bbox + blur margin, delivered via scalar prefetch) skips
-    non-overlapping programs — the TPU analogue of PyTorch3D's binned
-    rasterization;
+  * the forward grid is (frames, pixel_tiles, face_chunks) with chunks
+    innermost, accumulating S into the revisited output tile — **frames are a
+    native grid axis**, not an outer vmap, so multi-frame windows amortize the
+    per-program grid overhead;
+  * a host-precomputed **coarse cull mask** (subgroup bbox vs tile bbox + blur
+    margin, delivered via scalar prefetch; one 16-bit word per 128 faces)
+    skips non-overlapping programs and subgroups — the TPU analogue of
+    PyTorch3D's binned rasterization. Large 512-face chunks keep the grid
+    small (programs cost ~0.15 µs even when fully culled);
   * the backward kernel transposes the grid (chunks outer, tiles inner) and
     accumulates per-vertex distance gradients (envelope theorem at the
     optimal edge parameter), reduced over lanes.
 
-The public entry :func:`soft_silhouette` takes NDC vertices + faces, is
-differentiable wrt vertices, and falls back to the pure-JAX oracle on
-non-TPU backends.
+The public entry :func:`soft_silhouette` takes NDC vertices + faces for one
+frame (V, 3) or a frame batch (N, V, 3), is differentiable wrt vertices, and
+falls back to the pure-JAX oracle on non-TPU backends.
 """
 
 from __future__ import annotations
@@ -40,14 +45,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from smilify_tpu.render.rasterizer_ref import SIGMA, soft_silhouette_ref
 
-TILE_H = 8
-TILE_W = 128
+TILE_H = 32
+TILE_W = 32
 TILE_PIX = TILE_H * TILE_W        # 1024 lanes per pixel tile
-FACE_CHUNK = 128
+FACE_CHUNK = 512                  # faces per VMEM block / grid step
+WORD = 128                        # faces covered by one 16-bit cull word
 FACE_GROUP = 8                    # faces per sublane group
-N_GROUPS = FACE_CHUNK // FACE_GROUP
-# softplus(-d/σ) < 4e-9 once d > 20σ — faces farther than this can't contribute
-CULL_MARGIN_SQ_SIGMAS = 20.0
+N_WORDS = FACE_CHUNK // WORD
+GROUPS_PER_WORD = WORD // FACE_GROUP
+# softplus(-d/σ) < 8.3e-7 once d > 14σ — faces farther than this contribute
+# less than ~2e-5 alpha even with dozens of them at the cutoff
+CULL_MARGIN_SQ_SIGMAS = 14.0
+# v5e SMEM is 1 MB; the scalar-prefetch cull mask must fit (with headroom for
+# other SMEM users), so large frame windows are split into sub-batches
+SMEM_MASK_BUDGET_BYTES = 384 * 1024
 
 
 def _cdiv(a, b):
@@ -85,7 +96,7 @@ def _signed_distance(px, py, ax, ay, bx, by, cx, cy):
 
 
 def _pixel_coords(t, n_tx, H, W, dtype):
-    """NDC coords of the flattened (1, TILE_PIX) pixel tile with linear id t."""
+    """NDC coords of the flattened (1, TILE_PIX) 32×32 pixel tile with id t."""
     s = float(min(H, W))
     q = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
     ti = t // n_tx
@@ -97,9 +108,10 @@ def _pixel_coords(t, n_tx, H, W, dtype):
     return x, y
 
 
-def _face_group(face_ref, g):
+def _face_group(face_ref, w, g):
     """8 consecutive faces' attributes as (8, 1) columns."""
-    fa = face_ref[0, g * FACE_GROUP:(g + 1) * FACE_GROUP, :]  # (8, 8)
+    base = w * WORD + g * FACE_GROUP
+    fa = face_ref[0, 0, base:base + FACE_GROUP, :]  # (8, 8)
     return (
         fa[:, 0:1], fa[:, 1:2], fa[:, 2:3], fa[:, 3:4],
         fa[:, 4:5], fa[:, 5:6], fa[:, 6:7],
@@ -111,57 +123,64 @@ def _face_group(face_ref, g):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(mask_ref, face_ref, S_ref, *, H, W, n_tx, n_chunks, inv_sigma):
-    t = pl.program_id(0)
-    c = pl.program_id(1)
+def _fwd_kernel(mask_ref, face_ref, S_ref, *, H, W, n_tx, n_tiles, n_chunks, inv_sigma):
+    f = pl.program_id(0)
+    t = pl.program_id(1)
+    c = pl.program_id(2)
 
     @pl.when(c == 0)
     def _():
         S_ref[:] = jnp.zeros_like(S_ref)
 
-    bits = mask_ref[t * n_chunks + c]
+    base = ((f * n_tiles + t) * n_chunks + c) * N_WORDS
+    words = [mask_ref[base + w] for w in range(N_WORDS)]
+    any_bits = functools.reduce(lambda a, b: a | b, words)
 
-    @pl.when(bits > 0)
+    @pl.when(any_bits > 0)
     def _():
         px, py = _pixel_coords(t, n_tx, H, W, S_ref.dtype)
-        for g in range(N_GROUPS):
-            @pl.when((bits >> g) & 1 > 0)
-            def _(g=g):
-                ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, g)
-                d, _ = _signed_distance(px, py, ax, ay, bx, by, cx, cy)  # (8, TILE_PIX)
-                contrib = valid * jax.nn.softplus(-d * inv_sigma)
-                S_ref[:] += jnp.sum(contrib, axis=0, keepdims=True)[None]
+        for w in range(N_WORDS):
+            for g in range(GROUPS_PER_WORD):
+                @pl.when((words[w] >> g) & 1 > 0)
+                def _(w=w, g=g):
+                    ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, w, g)
+                    d, _ = _signed_distance(px, py, ax, ay, bx, by, cx, cy)  # (8, TILE_PIX)
+                    contrib = valid * jax.nn.softplus(-d * inv_sigma)
+                    S_ref[:] += jnp.sum(contrib, axis=0, keepdims=True)[None, None]
 
 
 def _fwd_pallas(face_data, tile_mask_flat, H, W, sigma, interpret=False):
-    n_chunks = face_data.shape[0]
+    N, n_chunks = face_data.shape[0], face_data.shape[1]
     n_ty, n_tx = _cdiv(H, TILE_H), _cdiv(W, TILE_W)
     n_tiles = n_ty * n_tx
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles, n_chunks),
+        grid=(N, n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, FACE_CHUNK, 8), lambda t, c, m: (c, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, FACE_CHUNK, 8), lambda f, t, c, m: (f, c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, TILE_PIX), lambda t, c, m: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, 1, TILE_PIX), lambda f, t, c, m: (f, t, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
     S_tiles = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, H=H, W=W, n_tx=n_tx, n_chunks=n_chunks, inv_sigma=1.0 / sigma
+            _fwd_kernel, H=H, W=W, n_tx=n_tx, n_tiles=n_tiles, n_chunks=n_chunks,
+            inv_sigma=1.0 / sigma,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, TILE_PIX), face_data.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, n_tiles, 1, TILE_PIX), face_data.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=n_tiles * n_chunks * FACE_CHUNK * TILE_PIX * 2,
-            bytes_accessed=n_tiles * TILE_PIX * 4 + n_chunks * FACE_CHUNK * 8 * 4,
-            transcendentals=n_tiles * n_chunks * FACE_CHUNK * TILE_PIX // 8,
+            flops=N * n_tiles * n_chunks * FACE_CHUNK * TILE_PIX // 8,
+            bytes_accessed=N * (n_tiles * TILE_PIX * 4 + n_chunks * FACE_CHUNK * 8 * 4),
+            transcendentals=N * n_tiles * n_chunks * FACE_CHUNK * TILE_PIX // 64,
         ),
         interpret=interpret,
     )(tile_mask_flat, face_data)
-    S = S_tiles.reshape(n_ty, n_tx, TILE_H, TILE_W).transpose(0, 2, 1, 3).reshape(
-        n_ty * TILE_H, n_tx * TILE_W
+    S = S_tiles.reshape(N, n_ty, n_tx, TILE_H, TILE_W).transpose(0, 1, 3, 2, 4).reshape(
+        N, n_ty * TILE_H, n_tx * TILE_W
     )
-    return S[:H, :W]
+    return S[:, :H, :W]
 
 
 # ---------------------------------------------------------------------------
@@ -169,77 +188,86 @@ def _fwd_pallas(face_data, tile_mask_flat, H, W, sigma, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(mask_ref, face_ref, g_ref, dface_ref, *, H, W, n_tx, n_chunks, inv_sigma):
-    c = pl.program_id(0)
-    t = pl.program_id(1)
+def _bwd_kernel(mask_ref, face_ref, g_ref, dface_ref, *, H, W, n_tx, n_tiles, n_chunks, inv_sigma):
+    f = pl.program_id(0)
+    c = pl.program_id(1)
+    t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _():
         dface_ref[:] = jnp.zeros_like(dface_ref)
 
-    bits = mask_ref[t * n_chunks + c]
+    base = ((f * n_tiles + t) * n_chunks + c) * N_WORDS
+    words = [mask_ref[base + w] for w in range(N_WORDS)]
+    any_bits = functools.reduce(lambda a, b: a | b, words)
 
-    @pl.when(bits > 0)
+    @pl.when(any_bits > 0)
     def _():
         px, py = _pixel_coords(t, n_tx, H, W, g_ref.dtype)
-        G = g_ref[0]  # (1, TILE_PIX)
+        G = g_ref[0, 0]  # (1, TILE_PIX)
 
-        for g in range(N_GROUPS):
-            @pl.when((bits >> g) & 1 > 0)
-            def _(g=g):
-                ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, g)
-                d, aux = _signed_distance(px, py, ax, ay, bx, by, cx, cy)
-                (d1, t1, r1x, r1y, d2, t2, r2x, r2y, d3, t3, r3x, r3y, dmin, sign) = aux
+        for w in range(N_WORDS):
+            for g in range(GROUPS_PER_WORD):
+                @pl.when((words[w] >> g) & 1 > 0)
+                def _(w=w, g=g):
+                    ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, w, g)
+                    d, aux = _signed_distance(px, py, ax, ay, bx, by, cx, cy)
+                    (d1, t1, r1x, r1y, d2, t2, r2x, r2y, d3, t3, r3x, r3y, dmin, sign) = aux
 
-                # dS/d(d_signed) = −sigmoid(−d/σ)/σ; chain with sign for dmin
-                w = G * valid * jax.nn.sigmoid(-d * inv_sigma) * (-inv_sigma) * sign
+                    # dS/d(d_signed) = −sigmoid(−d/σ)/σ; chain with sign for dmin
+                    wgt = G * valid * jax.nn.sigmoid(-d * inv_sigma) * (-inv_sigma) * sign
 
-                e1 = jnp.logical_and(d1 <= d2, d1 <= d3)
-                e2 = jnp.logical_and(~e1, d2 <= d3)
-                e3 = jnp.logical_and(~e1, ~e2)
-                f1 = jnp.where(e1, w, 0.0)
-                f2 = jnp.where(e2, w, 0.0)
-                f3 = jnp.where(e3, w, 0.0)
+                    e1 = jnp.logical_and(d1 <= d2, d1 <= d3)
+                    e2 = jnp.logical_and(~e1, d2 <= d3)
+                    e3 = jnp.logical_and(~e1, ~e2)
+                    f1 = jnp.where(e1, wgt, 0.0)
+                    f2 = jnp.where(e2, wgt, 0.0)
+                    f3 = jnp.where(e3, wgt, 0.0)
 
-                # point-segment grads at optimal t (envelope): r = p−u−t(v−u)
-                # ∂d/∂u = −2(1−t)r ; ∂d/∂v = −2t·r — reduce over the 1024 pixels
-                def rsum(x):
-                    return jnp.sum(x, axis=1, keepdims=True)  # (8, 1)
+                    # point-segment grads at optimal t (envelope): r = p−u−t(v−u)
+                    # ∂d/∂u = −2(1−t)r ; ∂d/∂v = −2t·r — reduce over the 1024 pixels
+                    def rsum(x):
+                        return jnp.sum(x, axis=1, keepdims=True)  # (8, 1)
 
-                gax = rsum(f1 * (-2.0) * (1.0 - t1) * r1x + f3 * (-2.0) * t3 * r3x)
-                gay = rsum(f1 * (-2.0) * (1.0 - t1) * r1y + f3 * (-2.0) * t3 * r3y)
-                gbx = rsum(f1 * (-2.0) * t1 * r1x + f2 * (-2.0) * (1.0 - t2) * r2x)
-                gby = rsum(f1 * (-2.0) * t1 * r1y + f2 * (-2.0) * (1.0 - t2) * r2y)
-                gcx = rsum(f2 * (-2.0) * t2 * r2x + f3 * (-2.0) * (1.0 - t3) * r3x)
-                gcy = rsum(f2 * (-2.0) * t2 * r2y + f3 * (-2.0) * (1.0 - t3) * r3y)
-                grad8 = jnp.concatenate(
-                    [gax, gay, gbx, gby, gcx, gcy, jnp.zeros_like(gax), jnp.zeros_like(gax)],
-                    axis=1,
-                )  # (8, 8) — attrs in columns, zero for valid/pad slots
-                dface_ref[0, g * FACE_GROUP:(g + 1) * FACE_GROUP, :] += grad8
+                    gax = rsum(f1 * (-2.0) * (1.0 - t1) * r1x + f3 * (-2.0) * t3 * r3x)
+                    gay = rsum(f1 * (-2.0) * (1.0 - t1) * r1y + f3 * (-2.0) * t3 * r3y)
+                    gbx = rsum(f1 * (-2.0) * t1 * r1x + f2 * (-2.0) * (1.0 - t2) * r2x)
+                    gby = rsum(f1 * (-2.0) * t1 * r1y + f2 * (-2.0) * (1.0 - t2) * r2y)
+                    gcx = rsum(f2 * (-2.0) * t2 * r2x + f3 * (-2.0) * (1.0 - t3) * r3x)
+                    gcy = rsum(f2 * (-2.0) * t2 * r2y + f3 * (-2.0) * (1.0 - t3) * r3y)
+                    grad8 = jnp.concatenate(
+                        [gax, gay, gbx, gby, gcx, gcy, jnp.zeros_like(gax), jnp.zeros_like(gax)],
+                        axis=1,
+                    )  # (8, 8) — attrs in columns, zero for valid/pad slots
+                    base_f = w * WORD + g * FACE_GROUP
+                    dface_ref[0, 0, base_f:base_f + FACE_GROUP, :] += grad8
 
 
 def _bwd_pallas(face_data, tile_mask_flat, gS, H, W, sigma, interpret=False):
-    n_chunks = face_data.shape[0]
+    N, n_chunks = face_data.shape[0], face_data.shape[1]
     n_ty, n_tx = _cdiv(H, TILE_H), _cdiv(W, TILE_W)
     n_tiles = n_ty * n_tx
     Hp, Wp = n_ty * TILE_H, n_tx * TILE_W
-    gS_pad = jnp.zeros((Hp, Wp), gS.dtype).at[:H, :W].set(gS)
-    gS_tiles = gS_pad.reshape(n_ty, TILE_H, n_tx, TILE_W).transpose(0, 2, 1, 3).reshape(
-        n_tiles, 1, TILE_PIX
+    gS_pad = jnp.zeros((N, Hp, Wp), gS.dtype).at[:, :H, :W].set(gS)
+    gS_tiles = gS_pad.reshape(N, n_ty, TILE_H, n_tx, TILE_W).transpose(0, 1, 3, 2, 4).reshape(
+        N, n_tiles, 1, TILE_PIX
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks, n_tiles),
+        grid=(N, n_chunks, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, FACE_CHUNK, 8), lambda c, t, m: (c, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE_PIX), lambda c, t, m: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, FACE_CHUNK, 8), lambda f, c, t, m: (f, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TILE_PIX), lambda f, c, t, m: (f, t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, FACE_CHUNK, 8), lambda c, t, m: (c, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, FACE_CHUNK, 8), lambda f, c, t, m: (f, c, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
     dface = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, H=H, W=W, n_tx=n_tx, n_chunks=n_chunks, inv_sigma=1.0 / sigma
+            _bwd_kernel, H=H, W=W, n_tx=n_tx, n_tiles=n_tiles, n_chunks=n_chunks,
+            inv_sigma=1.0 / sigma,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(face_data.shape, face_data.dtype),
@@ -254,39 +282,47 @@ def _bwd_pallas(face_data, tile_mask_flat, gS, H, W, sigma, interpret=False):
 
 
 def _pack_faces(tri_xy: jnp.ndarray, valid: jnp.ndarray):
-    """(F, 3, 2) triangles + (F,) validity → (C, FACE_CHUNK, 8) attr-last chunks."""
-    F = tri_xy.shape[0]
+    """(N, F, 3, 2) triangles + (N, F) validity → (N, C, FACE_CHUNK, 8) chunks."""
+    N, F = tri_xy.shape[0], tri_xy.shape[1]
     pad = (-F) % FACE_CHUNK
     flat = jnp.concatenate(
-        [tri_xy.reshape(F, 6), valid.astype(tri_xy.dtype)[:, None], jnp.zeros((F, 1), tri_xy.dtype)],
-        axis=1,
-    )  # (F, 8)
-    flat = jnp.pad(flat, ((0, pad), (0, 0)))
-    return flat.reshape(-1, FACE_CHUNK, 8)
+        [
+            tri_xy.reshape(N, F, 6),
+            valid.astype(tri_xy.dtype)[..., None],
+            jnp.zeros((N, F, 1), tri_xy.dtype),
+        ],
+        axis=-1,
+    )  # (N, F, 8)
+    flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
+    return flat.reshape(N, -1, FACE_CHUNK, 8)
 
 
 def _tile_cull_mask(tri_xy, valid, H, W, sigma):
-    """(n_tiles · n_chunks,) int32: bit g set ⇔ face-subgroup g of chunk c
-    touches tile t (+blur margin). Culling is hierarchical: the kernel skips a
-    whole chunk when the word is 0 and individual 8-face subgroups otherwise.
-    Spatially-sorted faces (ModelSpec loader) make subgroup bboxes tight."""
-    F = tri_xy.shape[0]
+    """(N · n_tiles · n_chunks · N_WORDS,) int32 cull words: bit g of word
+    (f, t, c, w) set ⇔ 8-face subgroup g of word w of chunk c touches tile t
+    (+blur margin) in frame f. Culling is hierarchical: the kernel skips a
+    whole 512-face chunk when all 4 words are 0 and individual 8-face
+    subgroups otherwise. Spatially-sorted faces (ModelSpec loader) make
+    subgroup bboxes tight."""
+    N, F = tri_xy.shape[0], tri_xy.shape[1]
     pad = (-F) % FACE_CHUNK
     big = jnp.asarray(1e9, tri_xy.dtype)
     x = tri_xy[..., 0]
     y = tri_xy[..., 1]
-    xmin = jnp.where(valid, x.min(axis=1), big)
-    xmax = jnp.where(valid, x.max(axis=1), -big)
-    ymin = jnp.where(valid, y.min(axis=1), big)
-    ymax = jnp.where(valid, y.max(axis=1), -big)
+    xmin = jnp.where(valid, x.min(axis=-1), big)
+    xmax = jnp.where(valid, x.max(axis=-1), -big)
+    ymin = jnp.where(valid, y.min(axis=-1), big)
+    ymax = jnp.where(valid, y.max(axis=-1), -big)
 
     def group_min(v):
-        return jnp.pad(v, (0, pad), constant_values=1e9).reshape(-1, FACE_GROUP).min(axis=1)
+        v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=1e9)
+        return v.reshape(N, -1, FACE_GROUP).min(axis=-1)
 
     def group_max(v):
-        return jnp.pad(v, (0, pad), constant_values=-1e9).reshape(-1, FACE_GROUP).max(axis=1)
+        v = jnp.pad(v, ((0, 0), (0, pad)), constant_values=-1e9)
+        return v.reshape(N, -1, FACE_GROUP).max(axis=-1)
 
-    gxmin, gxmax = group_min(xmin), group_max(xmax)  # (C·N_GROUPS,)
+    gxmin, gxmax = group_min(xmin), group_max(xmax)  # (N, n_groups)
     gymin, gymax = group_min(ymin), group_max(ymax)
 
     margin = math.sqrt(CULL_MARGIN_SQ_SIGMAS * sigma)
@@ -300,11 +336,20 @@ def _tile_cull_mask(tri_xy, valid, H, W, sigma):
     tile_xmax = -(j * TILE_W * 2.0 + 1.0 - W) / s
     tile_xmin = -(((j + 1) * TILE_W - 1) * 2.0 + 1.0 - W) / s
 
-    oy = (gymin[None, :] <= tile_ymax[:, None] + margin) & (gymax[None, :] >= tile_ymin[:, None] - margin)
-    ox = (gxmin[None, :] <= tile_xmax[:, None] + margin) & (gxmax[None, :] >= tile_xmin[:, None] - margin)
-    hit = (oy[:, None, :] & ox[None, :, :]).reshape(n_ty * n_tx, -1, N_GROUPS)  # (T, C, G)
+    # (N, n_ty, groups) / (N, n_tx, groups)
+    oy = (gymin[:, None, :] <= tile_ymax[None, :, None] + margin) & (
+        gymax[:, None, :] >= tile_ymin[None, :, None] - margin
+    )
+    ox = (gxmin[:, None, :] <= tile_xmax[None, :, None] + margin) & (
+        gxmax[:, None, :] >= tile_xmin[None, :, None] - margin
+    )
+    hit = (oy[:, :, None, :] & ox[:, None, :, :]).reshape(
+        N, n_ty * n_tx, -1, N_WORDS, GROUPS_PER_WORD
+    )  # (N, T, C, W, G)
     bits = jnp.sum(
-        hit.astype(jnp.int32) << jnp.arange(N_GROUPS, dtype=jnp.int32)[None, None, :], axis=-1
+        hit.astype(jnp.int32)
+        << jnp.arange(GROUPS_PER_WORD, dtype=jnp.int32)[None, None, None, None, :],
+        axis=-1,
     )
     return bits.reshape(-1)
 
@@ -314,28 +359,51 @@ def _tile_cull_mask(tri_xy, valid, H, W, sigma):
 # ---------------------------------------------------------------------------
 
 
+def _max_frames_per_call(F, H, W):
+    """Largest frame sub-batch whose cull mask fits the SMEM budget."""
+    n_chunks = _cdiv(F, FACE_CHUNK)
+    n_tiles = _cdiv(H, TILE_H) * _cdiv(W, TILE_W)
+    per_frame = n_tiles * n_chunks * N_WORDS * 4
+    return max(1, SMEM_MASK_BUDGET_BYTES // per_frame)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _raster_S(tri_xy, valid, image_size, sigma, interpret=False):
-    H, W = image_size
-    face_data = _pack_faces(tri_xy, valid)
-    mask = _tile_cull_mask(tri_xy, valid, H, W, sigma)
-    return _fwd_pallas(face_data, mask, H, W, sigma, interpret=interpret)
+    S, _ = _raster_S_fwd(tri_xy, valid, image_size, sigma, interpret)
+    return S
 
 
 def _raster_S_fwd(tri_xy, valid, image_size, sigma, interpret=False):
-    S = _raster_S(tri_xy, valid, image_size, sigma, interpret)
-    return S, (tri_xy, valid)
+    H, W = image_size
+    N, F = tri_xy.shape[0], tri_xy.shape[1]
+    nb = _max_frames_per_call(F, H, W)
+    outs, residuals = [], []
+    for lo in range(0, N, nb):
+        t, v = tri_xy[lo:lo + nb], valid[lo:lo + nb]
+        face_data = _pack_faces(t, v)
+        mask = _tile_cull_mask(t, v, H, W, sigma)
+        outs.append(_fwd_pallas(face_data, mask, H, W, sigma, interpret=interpret))
+        residuals.append((face_data, mask))
+    S = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    # packed faces + cull masks are cheap to keep (~2 MB at window 10) and
+    # save recomputing both in the backward pass (tri_xy rides along so the
+    # bwd can read the true F from its static shape)
+    return S, (residuals, tri_xy)
 
 
 def _raster_S_bwd(image_size, sigma, interpret, res, gS):
-    tri_xy, valid = res
+    residuals, tri_xy = res
+    F = tri_xy.shape[1]
     H, W = image_size
-    F = tri_xy.shape[0]
-    face_data = _pack_faces(tri_xy, valid)
-    mask = _tile_cull_mask(tri_xy, valid, H, W, sigma)
-    dface = _bwd_pallas(face_data, mask, gS, H, W, sigma, interpret=interpret)  # (C, FACE_CHUNK, 8)
-    dflat = dface.reshape(-1, 8)[:F, :6]
-    return dflat.reshape(F, 3, 2), None
+    grads, lo = [], 0
+    for face_data, mask in residuals:
+        n = face_data.shape[0]
+        dface = _bwd_pallas(face_data, mask, gS[lo:lo + n], H, W, sigma, interpret=interpret)
+        grads.append(dface.reshape(n, -1, 8)[:, :F, :6])
+        lo += n
+    dflat = grads[0] if len(grads) == 1 else jnp.concatenate(grads, axis=0)
+    N = dflat.shape[0]
+    return dflat.reshape(N, F, 3, 2), None
 
 
 _raster_S.defvjp(_raster_S_fwd, _raster_S_bwd)
@@ -350,17 +418,29 @@ def soft_silhouette(
     use_pallas: bool | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Soft silhouette from NDC vertices; (H, W) alpha in [0, 1].
+    """Soft silhouette from NDC vertices; alpha in [0, 1].
+
+    Accepts one frame ``(V, 3)`` → ``(H, W)`` or a frame batch ``(N, V, 3)``
+    → ``(N, H, W)``. Frame batches run as a native grid axis of the Pallas
+    kernel (amortizing grid overhead) rather than an outer vmap.
 
     ``use_pallas=None`` auto-selects: Pallas kernel on TPU, pure-JAX oracle
     elsewhere. Differentiable wrt ``verts_ndc`` either way.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    batched = verts_ndc.ndim == 3
     if not use_pallas:
+        if batched:
+            return jax.vmap(
+                lambda v: soft_silhouette_ref(v, faces, image_size, sigma=sigma, znear=znear)
+            )(verts_ndc)
         return soft_silhouette_ref(verts_ndc, faces, image_size, sigma=sigma, znear=znear)
 
-    tri = verts_ndc[faces]  # (F, 3, 3)
+    vb = verts_ndc if batched else verts_ndc[None]
+    tri = vb[:, faces]  # (N, F, 3, 3)
     valid = jnp.any(tri[..., 2] > znear, axis=-1)
     S = _raster_S(tri[..., :2], valid, tuple(image_size), sigma, interpret)
-    return 1.0 - jnp.exp(-S)
+    alpha = 1.0 - jnp.exp(-S)
+    return alpha if batched else alpha[0]

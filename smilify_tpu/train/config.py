@@ -37,6 +37,9 @@ class DatasetConfig:
 @dataclass
 class ModelConfig:
     backbone_name: str = "vit_large_patch16_224"
+    # .npz dump of torchvision/timm weights (weight_port.py dump CLI on a
+    # connected machine); loaded into the backbone subtree by the trainers
+    pretrained_npz: Optional[str] = None
     freeze_backbone: bool = True
     backbone_unfreeze_epoch: Optional[int] = None
     backbone_lr_multiplier: float = 0.1

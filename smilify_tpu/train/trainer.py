@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from collections import deque
 from functools import partial
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
@@ -230,21 +231,75 @@ def iterate_batches(
     fraction: float = 1.0,
     collate: Callable = None,
     drop_last: bool = True,
+    num_workers: int = 0,
+    prefetch: int = 2,
+    skip_errors: bool = False,
 ) -> Iterable[Dict[str, np.ndarray]]:
     """Host-side batcher with per-epoch fractional subsampling
-    (reference create_fractional_train_loader, train_smil_regressor.py:420)."""
+    (reference create_fractional_train_loader, train_smil_regressor.py:420).
+
+    ``num_workers > 0`` loads samples through a thread pool with a bounded
+    look-ahead of ``prefetch`` batches (JPEG decode + augmentation release the
+    GIL in cv2/numpy) — the replacement for the reference's DataLoader worker
+    processes, keeping the TPU fed instead of starving on one core.
+    ``skip_errors`` drops samples whose load raises (per-sample resilience,
+    reference train_multiview_regressor.py:606) — dropped slots are backfilled
+    from the epoch's remaining indices so batch shapes stay static for jit.
+    """
     n = len(dataset)
     idx = rng.permutation(n) if shuffle else np.arange(n)
     if fraction < 1.0:
         idx = idx[: max(1, int(n * fraction))]
-    for i in range(0, len(idx) - (batch_size - 1 if drop_last else 0), batch_size):
-        chunk = idx[i : i + batch_size]
-        samples = [dataset[int(j)] for j in chunk]
+    idx = [int(j) for j in idx]
+
+    def assemble(samples):
         if collate is not None:
-            yield collate(samples)
-        else:
-            keys = samples[0].keys()
-            yield {k: np.stack([np.asarray(s[k]) for s in samples]) for k in keys}
+            return collate(samples)
+        keys = samples[0].keys()
+        return {k: np.stack([np.asarray(s[k]) for s in samples]) for k in keys}
+
+    def load(j):
+        if not skip_errors:
+            return dataset[j]
+        try:
+            return dataset[j]
+        except Exception as e:  # noqa: BLE001 — per-sample resilience
+            print(f"warning: sample {j} failed to load ({type(e).__name__}: {e})")
+            return None
+
+    if num_workers <= 0:
+        buf = []
+        for j in idx:
+            s = load(j)
+            if s is None:
+                continue
+            buf.append(s)
+            if len(buf) == batch_size:
+                yield assemble(buf)
+                buf = []
+        if buf and not drop_last:
+            yield assemble(buf)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    lookahead = max(batch_size * max(1, prefetch), num_workers)
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        futures = deque(pool.submit(load, j) for j in idx[:lookahead])
+        pending = deque(idx[lookahead:])
+        buf = []
+        while futures:
+            s = futures.popleft().result()
+            if pending:
+                futures.append(pool.submit(load, pending.popleft()))
+            if s is None:
+                continue
+            buf.append(s)
+            if len(buf) == batch_size:
+                yield assemble(buf)
+                buf = []
+        if buf and not drop_last:
+            yield assemble(buf)
 
 
 def plot_training_history(history: List[Dict[str, float]], out_dir: str):
@@ -313,6 +368,23 @@ def split_dataset(n: int, ratios: Tuple[float, float, float], seed: int):
     n_train = int(n * ratios[0])
     n_val = int(n * ratios[1])
     return idx[:n_train], idx[n_train : n_train + n_val], idx[n_train + n_val :]
+
+
+def split_dataset_grouped(groups: np.ndarray, ratios: Tuple[float, float, float], seed: int):
+    """Sample-level split over per-item group ids (expand_all_views: all views
+    of a sample stay in one split — no cross-view leakage; reference
+    item_sample_indices, sleap_multiview_dataset.py:298-320)."""
+    groups = np.asarray(groups)
+    uniq = np.unique(groups)
+    tr_g, va_g, te_g = split_dataset(len(uniq), ratios, seed)
+    tr_set, va_set = set(uniq[tr_g]), set(uniq[va_g])
+    te_set = set(uniq[te_g])
+    idx = np.arange(len(groups))
+    return (
+        idx[np.isin(groups, list(tr_set))],
+        idx[np.isin(groups, list(va_set))],
+        idx[np.isin(groups, list(te_set))],
+    )
 
 
 class SubsetDataset:

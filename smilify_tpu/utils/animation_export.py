@@ -137,6 +137,46 @@ class PredictionSmoother:
             out[i] = trajectory[lo:hi].mean(axis=0)
         return out
 
+    def smooth_rotations(self, rots_aa: np.ndarray) -> np.ndarray:
+        """Rotation-aware trajectory smoothing: axis-angles → rotation
+        matrices, chordal-L2 window mean, projection back onto SO(3) via SVD
+        (the reference smooths rotations in rotation space instead of naively
+        averaging axis-angle vectors, run_multiview_inference.py:71-120).
+
+        Accepts (N, 3) or (N, P, 3); same shape out."""
+        from scipy.spatial.transform import Rotation
+
+        shape = rots_aa.shape
+        aa = rots_aa.reshape(shape[0], -1, 3)          # (N, P, 3)
+        N, P = aa.shape[:2]
+        mats = Rotation.from_rotvec(aa.reshape(-1, 3)).as_matrix().reshape(N, P, 3, 3)
+        mean = self.smooth(mats)                       # windowed matrix mean
+        u, _, vt = np.linalg.svd(mean)
+        det = np.linalg.det(u @ vt)
+        u[..., :, -1] *= np.sign(det)[..., None]       # keep det=+1
+        proj = u @ vt
+        out = Rotation.from_matrix(proj.reshape(-1, 3, 3)).as_rotvec()
+        return out.reshape(shape).astype(rots_aa.dtype)
+
+    # axis-angle parameter names smoothed in rotation space; 3×3-matrix
+    # camera rotations are window-averaged then re-projected onto SO(3)
+    ROTATION_KEYS = ("global_rot", "joint_rot")
+    MATRIX_KEYS = ("cam_rot", "view_cam_rot")
+
     def smooth_params(self, params: Dict[str, np.ndarray], keys=None) -> Dict[str, np.ndarray]:
         keys = keys or list(params)
-        return {k: (self.smooth(v) if k in keys else v) for k, v in params.items()}
+        out = {}
+        for k, v in params.items():
+            if k not in keys:
+                out[k] = v
+            elif k in self.ROTATION_KEYS:
+                out[k] = self.smooth_rotations(v)
+            elif k in self.MATRIX_KEYS:
+                mean = self.smooth(v)
+                u, _, vt = np.linalg.svd(mean)
+                det = np.linalg.det(u @ vt)
+                u[..., :, -1] *= np.sign(det)[..., None]
+                out[k] = (u @ vt).astype(v.dtype)
+            else:
+                out[k] = self.smooth(v)
+        return out

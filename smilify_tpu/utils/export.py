@@ -93,6 +93,30 @@ class ImageExporter:
             save_ply(base + ".ply", np.asarray(vertices), np.asarray(faces))
 
 
+def load_fitter_checkpoint(checkpoint_dir: str, filenames, stage: int, epoch) -> Dict[str, np.ndarray]:
+    """Reload per-frame fitter parameter pkls written by :class:`ImageExporter`
+    (reference ``fitter.py:352-371`` load_checkpoint): reads
+    ``<dir>/<frame>/st{stage}_ep{epoch}.pkl`` for every frame and stacks the
+    per-frame parameters; shared parameters (betas, scales, joint trans) come
+    from the first frame."""
+    per_frame = []
+    for name in filenames:
+        base = os.path.join(checkpoint_dir, os.path.splitext(name)[0],
+                            f"st{stage}_ep{epoch}.pkl")
+        with open(base, "rb") as f:
+            per_frame.append(pickle.load(f))
+    out = {
+        "global_rot": np.stack([p["global_rotation"] for p in per_frame]),
+        "joint_rot": np.stack([p["joint_rotations"] for p in per_frame]),
+        "trans": np.stack([p["trans"] for p in per_frame]),
+        "fov": np.stack([np.asarray(p["fov"]).reshape(()) for p in per_frame]),
+        "betas": np.asarray(per_frame[0]["betas"]),
+        "log_beta_scales": np.asarray(per_frame[0]["log_betascale"]),
+        "joint_trans": np.asarray(per_frame[0]["betas_trans"]),
+    }
+    return out
+
+
 def write_video(path: str, frames, fps: int = 15) -> str:
     """Write an mp4/avi from a list of (H, W, 3) uint8 RGB frames via cv2
     (imageio has no ffmpeg backend in this environment)."""

@@ -133,3 +133,38 @@ def test_crop_to_silhouette():
     # blob center lands near the crop center
     np.testing.assert_allclose(j_c[0], [32, 32], atol=4)
     assert sil_c.mean() > 0.5  # the blob fills most of the 1.05x crop
+
+
+def test_rotation_aware_smoothing():
+    """Naive axis-angle averaging breaks near the ±π boundary; the
+    rotation-space smoother must stay on the geodesic (reference
+    run_multiview_inference.py:71-120)."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    from smilify_tpu.utils.animation_export import PredictionSmoother
+
+    sm = PredictionSmoother(3)
+    # trajectory crossing the axis-angle discontinuity: rotations about z by
+    # angles near π with alternating sign representation
+    angles = np.array([np.pi - 0.1, -(np.pi - 0.05), np.pi - 0.1])
+    aa = np.stack([np.array([0.0, 0.0, a]) for a in angles])
+    out = sm.smooth_rotations(aa)
+    # all inputs are ~π about z; the smoothed middle must stay near π, not
+    # collapse toward 0 like the naive vector mean ((π−0.1 − π+0.05 + π−0.1)/3 ≈ π/3)
+    mid = Rotation.from_rotvec(out[1]).magnitude()
+    assert abs(mid - np.pi) < 0.15, mid
+    naive = np.linalg.norm(aa.mean(axis=0))
+    assert abs(naive - np.pi) > 1.0  # the naive mean really is wrong
+
+    # matrix smoothing stays on SO(3)
+    mats = Rotation.from_rotvec(aa).as_matrix()
+    sm_m = sm.smooth_params({"cam_rot": mats})["cam_rot"]
+    for m in sm_m:
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-6)
+        assert np.linalg.det(m) > 0.99
+
+    # batched per-joint shape support
+    aa_joints = np.tile(aa[:, None, :], (1, 4, 1))
+    out_j = sm.smooth_rotations(aa_joints)
+    assert out_j.shape == (3, 4, 3)

@@ -141,3 +141,33 @@ def test_sampling_differentiable():
 
     g = jax.grad(f)(jnp.asarray(verts))
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_thinness_scores_flat_vs_thin():
+    """A thin plate's rim faces see both plate sides' opposing normals...
+    simpler invariant: faces on a large flat grid score ~0; faces on a
+    high-curvature zigzag score high (reference fitter_3d/utils.py:361)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from smilify_tpu.ops.mesh_ops import compute_thinness_scores
+
+    def grid_mesh(zigzag):
+        n = 8
+        xs, ys = np.meshgrid(np.arange(n, dtype=np.float32), np.arange(n, dtype=np.float32))
+        z = (xs % 2) * 2.0 if zigzag else np.zeros_like(xs)
+        verts = np.stack([xs, ys, z], -1).reshape(-1, 3)
+        faces = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                a, b, c, d = i * n + j, i * n + j + 1, (i + 1) * n + j, (i + 1) * n + j + 1
+                faces += [[a, b, c], [b, d, c]]
+        return jnp.asarray(verts), jnp.asarray(np.asarray(faces, np.int32))
+
+    v_flat, f = grid_mesh(False)
+    v_zig, _ = grid_mesh(True)
+    s_flat = np.asarray(compute_thinness_scores(v_flat, f, n_neighbors=12))
+    s_zig = np.asarray(compute_thinness_scores(v_zig, f, n_neighbors=12))
+    assert s_flat.max() < 1e-5
+    assert s_zig.mean() > 0.1
+    assert s_zig.mean() > s_flat.mean() + 0.1

@@ -85,6 +85,66 @@ def test_ref_znear_culling():
     assert alpha.max() < 1e-6
 
 
+def test_signed_distance_analytic_fixtures():
+    """Hand-computed signed squared distances for known triangles — pins the
+    distance semantics independently of any self-consistency (SURVEY §7 names
+    convention drift the top correctness risk)."""
+    from smilify_tpu.render.rasterizer_ref import signed_distance_to_faces
+
+    tri = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])  # right triangle
+
+    cases = [
+        # (point, expected signed squared distance)
+        ((0.25, 0.25), -(0.25 ** 2)),          # inside; nearest edge y=0 or x=0
+        ((0.5, -0.3), 0.09),                    # below edge AB: d=0.3
+        ((-0.4, 0.5), 0.16),                    # left of edge CA: d=0.4
+        ((2.0, 0.0), 1.0),                       # beyond vertex B: d=1
+        ((1.0, 1.0), 0.5),                        # outside hypotenuse: d=√2/2
+        ((0.0, 0.0), 0.0),                        # exactly on vertex A
+        ((0.5, 0.0), 0.0),                        # exactly on edge AB
+        ((-1.0, -1.0), 2.0),                      # diagonal from vertex A
+    ]
+    for (px, py), want in cases:
+        got = float(signed_distance_to_faces(jnp.asarray([px, py]), tri))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f"point {(px, py)}")
+
+
+def test_pixel_ndc_grid_convention_fixtures():
+    """PyTorch3D NDC convention pinned by hand-computed values: +X left,
+    +Y up, pixel centers at (2i+1)/S − 1 flipped, short side spans [-1, 1]."""
+    from smilify_tpu.render.rasterizer_ref import pixel_ndc_grid
+
+    g = np.asarray(pixel_ndc_grid((4, 4)))
+    # top-left pixel center: x_ndc = -(2·0+1-4)/4 = 0.75, y_ndc = 0.75
+    np.testing.assert_allclose(g[0, 0], [0.75, 0.75], atol=1e-6)
+    # bottom-right: x = -(2·3+1-4)/4 = -0.75, y = -0.75
+    np.testing.assert_allclose(g[3, 3], [-0.75, -0.75], atol=1e-6)
+    # x decreases with column, y decreases with row (left/up positive)
+    assert (np.diff(g[0, :, 0]) < 0).all()
+    assert (np.diff(g[:, 0, 1]) < 0).all()
+
+    # non-square: the SHORT side spans [-1,1]; the long side extends past ±1
+    g2 = np.asarray(pixel_ndc_grid((2, 4)))  # H=2 short
+    np.testing.assert_allclose(g2[0, 0, 1], 0.5, atol=1e-6)     # y from short side
+    np.testing.assert_allclose(g2[0, 0, 0], 1.5, atol=1e-6)     # x extends to ±1.5
+
+
+def test_alpha_analytic_single_triangle():
+    """Alpha at an interior pixel must follow the exact SoftRas formula
+    1 − exp(−softplus(−d/σ)) for the hand-computed d of that pixel."""
+    from smilify_tpu.render.rasterizer_ref import SIGMA
+
+    verts = jnp.asarray([[0.9, 0.9, 1.0], [-0.9, 0.9, 1.0], [0.0, -0.9, 1.0]])
+    faces = jnp.asarray([[0, 1, 2]])
+    H = W = 8
+    alpha = np.asarray(soft_silhouette_ref(verts, faces, (H, W)))
+    # pixel (0, 3): NDC x = -(2·3+1-8)/8 = 0.125, y = 0.875 — INSIDE (just
+    # below the top edge y=0.9) → d = −0.025² (signed squared distance)
+    d = -(0.025 ** 2)
+    want = 1.0 - np.exp(-np.log1p(np.exp(-d / SIGMA)))
+    np.testing.assert_allclose(alpha[0, 3], want, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_pallas_matches_ref_forward():
     rng = np.random.RandomState(0)

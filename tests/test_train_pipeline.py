@@ -106,3 +106,44 @@ def test_synthetic_multiview_generator(tmp_path, stick_spec):
     )
     vis = s["keypoint_visibility"][0] > 0
     np.testing.assert_allclose(uv[vis], s["keypoints_2d"][0][vis], atol=0.01)
+
+
+def test_iterate_batches_workers_and_skip():
+    """Threaded prefetch returns the same batches as the serial path; failing
+    samples are dropped and backfilled (per-sample resilience)."""
+    import numpy as np
+
+    from smilify_tpu.train.trainer import iterate_batches
+
+    class DS:
+        def __init__(self, n, bad=()):
+            self.n, self.bad = n, set(bad)
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            if i in self.bad:
+                raise ValueError("corrupt sample")
+            return {"x": np.full((2,), i, np.float32)}
+
+    rng = np.random.default_rng(0)
+    serial = list(iterate_batches(DS(17), 4, rng, shuffle=False))
+    rng = np.random.default_rng(0)
+    threaded = list(iterate_batches(DS(17), 4, rng, shuffle=False, num_workers=3))
+    assert len(serial) == len(threaded) == 4
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+    # two bad samples → still full static-shape batches, remaining backfilled
+    rng = np.random.default_rng(0)
+    got = list(iterate_batches(DS(18, bad=(3, 7)), 4, rng, shuffle=False,
+                               num_workers=2, skip_errors=True))
+    seen = np.concatenate([b["x"][:, 0] for b in got])
+    assert len(got) == 4 and len(seen) == 16
+    assert 3.0 not in seen and 7.0 not in seen
+
+    # serial path honors skip_errors too
+    rng = np.random.default_rng(0)
+    got = list(iterate_batches(DS(9, bad=(0,)), 4, rng, shuffle=False, skip_errors=True))
+    assert len(got) == 2

@@ -1,0 +1,96 @@
+"""Torch→Flax backbone weight-port parity.
+
+A subprocess builds randomly-initialized torch models with torchvision/timm
+architectures + state-dict naming (``tools/gen_backbone_fixtures.py`` — torch
+and jax cannot share a process on this box), the port converts the dumped
+state dict, and the Flax forward must match the torch forward ≤ 1e-4. This
+validates the offline pretrained-weight flow of the reference
+(``neuralSMIL/backbone_factory.py:105-118``, ``hpc_files/download_backbone_weights.py``).
+"""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("backbone_port")
+
+
+def _gen(arch, out):
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "gen_backbone_fixtures.py"), arch, str(out)],
+        check=True, cwd=REPO, capture_output=True, text=True,
+    )
+
+
+def test_resnet50_port_parity(fixture_dir):
+    import jax.numpy as jnp
+
+    from smilify_tpu.models.backbones import ResNet
+    from smilify_tpu.models.weight_port import load_ported_resnet, port_resnet_batch_stats
+
+    npz = fixture_dir / "resnet50.npz"
+    _gen("resnet50", npz)
+    fx = dict(np.load(npz))
+
+    x = jnp.asarray(fx["__input__"].transpose(0, 2, 3, 1))  # NCHW → NHWC, [0,1]
+    model = ResNet([3, 4, 6, 3], dtype=jnp.float32)
+    variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
+
+    params = load_ported_resnet(str(npz), variables["params"])
+    stats = port_resnet_batch_stats(str(npz), variables["batch_stats"])
+    feats = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+
+    got = np.asarray(feats.pooled)
+    want = fx["__pooled__"]
+    scale = max(1e-3, float(np.abs(want).max()))
+    np.testing.assert_allclose(got, want, atol=1e-4 * scale + 1e-5, rtol=1e-4)
+
+
+def test_frozen_random_backbone_refused():
+    """freeze_backbone=true + no pretrained_npz must refuse to train (the
+    reference default workflow is a frozen *pretrained* encoder)."""
+    from smilify_tpu.models.weight_port import apply_pretrained_policy
+    from smilify_tpu.train.config import load_config
+
+    cfg = load_config(None, overrides={
+        "model.freeze_backbone": True, "model.backbone_unfreeze_epoch": None,
+    }, mode="single_view")
+    with pytest.raises(SystemExit):
+        apply_pretrained_policy(cfg, {"ResNet_0": {}}, {})
+    # explicit opt-out works
+    p, s = apply_pretrained_policy(cfg, {"ResNet_0": {}}, {}, allow_random_backbone=True)
+    assert p == {"ResNet_0": {}}
+
+
+@pytest.mark.slow
+def test_vit_base_port_parity(fixture_dir):
+    import jax.numpy as jnp
+
+    from smilify_tpu.models.backbones import ViT
+    from smilify_tpu.models.weight_port import load_ported_vit
+
+    npz = fixture_dir / "vit_base.npz"
+    _gen("vit_base", npz)
+    fx = dict(np.load(npz))
+
+    x = jnp.asarray(fx["__input__"].transpose(0, 2, 3, 1))
+    model = ViT(12, 768, 12, dtype=jnp.float32)
+    variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
+
+    params = load_ported_vit(str(npz), variables["params"])
+    feats = model.apply({"params": params}, x, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(feats.pooled), fx["__pooled__"], atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats.tokens), fx["__tokens__"], atol=1e-4, rtol=1e-3
+    )

@@ -1,0 +1,204 @@
+"""Generate torch backbone parity fixtures (run in a torch-only subprocess).
+
+The environment has no torchvision/timm and no network egress, so pretrained
+weights can't be downloaded here — but weight-port *correctness* doesn't
+depend on the weight values. This script builds randomly-initialized torch
+models with the exact architectures and state-dict naming of
+``torchvision.models.resnet50`` and ``timm vit_base_patch16_224`` (the
+reference's backbones, ``neuralSMIL/backbone_factory.py:105-118,178-235``),
+runs them in eval mode on a fixed input, and dumps
+
+    {state-dict tensors...,  __input__,  __pooled__ [, __tokens__]}
+
+to an .npz. ``tests/test_weight_port.py`` then ports the state dict through
+``smilify_tpu.models.weight_port`` into the Flax backbones and asserts
+forward parity ≤ 1e-4 — which validates the port for real pretrained dumps
+made with ``python -m smilify_tpu.models.weight_port dump`` on a connected
+machine.
+
+Usage:  python tools/gen_backbone_fixtures.py {resnet50|vit_base} out.npz
+"""
+
+import math
+import sys
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------------------
+# torchvision-compatible ResNet-50 (module names: conv1/bn1/layer{1-4}.{b}.*)
+# ---------------------------------------------------------------------------
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet50(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make_layer(64, 3, 1)
+        self.layer2 = self._make_layer(128, 4, 2)
+        self.layer3 = self._make_layer(256, 6, 2)
+        self.layer4 = self._make_layer(512, 3, 2)
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+        layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        layers += [Bottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+        return nn.Sequential(*layers)
+
+    def init_like_torchvision(self):
+        # kaiming fan-out init (torchvision resnet __init__) keeps activation
+        # variance alive through 50 random layers, so parity isn't tested on 0s
+        for m in self.modules():
+            if isinstance(m, nn.Conv2d):
+                nn.init.kaiming_normal_(m.weight, mode="fan_out", nonlinearity="relu")
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return x.mean(dim=(2, 3))  # GAP, matches our Flax pooled output
+
+
+# ---------------------------------------------------------------------------
+# timm-compatible ViT-B/16 (names: patch_embed.proj, blocks.{i}.attn.qkv, ...)
+# ---------------------------------------------------------------------------
+
+
+class Attention(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.scale = (dim // heads) ** -0.5
+        self.qkv = nn.Linear(dim, dim * 3, bias=True)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, D = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.heads, D // self.heads).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv.unbind(0)
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        x = (attn.softmax(dim=-1) @ v).transpose(1, 2).reshape(B, N, D)
+        return self.proj(x)
+
+
+class Block(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = Attention(dim, heads)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = nn.Sequential()
+        self.mlp.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
+        self.mlp.act = nn.GELU()
+        self.mlp.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp.fc2(self.mlp.act(self.mlp.fc1(self.norm2(x))))
+
+
+class PatchEmbed(nn.Module):
+    def __init__(self, dim, patch=16):
+        super().__init__()
+        self.proj = nn.Conv2d(3, dim, patch, stride=patch)
+
+    def forward(self, x):
+        return self.proj(x).flatten(2).transpose(1, 2)
+
+
+class ViTB16(nn.Module):
+    def __init__(self, depth=12, dim=768, heads=12, img=224, patch=16):
+        super().__init__()
+        n_patches = (img // patch) ** 2
+        self.patch_embed = PatchEmbed(dim, patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.randn(1, n_patches + 1, dim) * 0.02)
+        self.blocks = nn.Sequential(*[Block(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim)
+        nn.init.normal_(self.cls_token, std=0.02)
+
+    def forward(self, x):
+        x = self.patch_embed(x)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        x = self.norm(self.blocks(x))
+        return x[:, 0], x[:, 1:]  # (CLS pooled, patch tokens)
+
+
+def main():
+    arch, out = sys.argv[1], sys.argv[2]
+    torch.manual_seed(0)
+
+    x = torch.rand(2, 3, 224, 224, generator=torch.Generator().manual_seed(7))
+    mean = torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
+    xn = (x - mean) / std
+
+    if arch == "resnet50":
+        model = ResNet50()
+        model.init_like_torchvision()
+        model = model.eval()
+        # non-default running stats so the port of batch_stats is actually tested
+        with torch.no_grad():
+            for m in model.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.normal_(0.0, 0.05)
+                    m.running_var.uniform_(0.8, 1.2)
+        with torch.no_grad():
+            pooled = model(xn)
+        extra = {"__pooled__": pooled.numpy()}
+    elif arch == "vit_base":
+        model = ViTB16().eval()
+        with torch.no_grad():
+            pooled, tokens = model(xn)
+        extra = {"__pooled__": pooled.numpy(), "__tokens__": tokens.numpy()}
+    else:
+        raise SystemExit(f"unknown arch {arch}")
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    sd.update(extra)
+    sd["__input__"] = x.numpy()  # raw [0,1]; Flax side applies its own normalize
+    np.savez(out, **sd)
+    print(f"{arch}: wrote {len(sd)} arrays -> {out}")
+
+
+if __name__ == "__main__":
+    main()
