@@ -33,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--vis-frequency", type=int, default=50)
     ap.add_argument("--image-range", type=int, nargs=2, default=None, metavar=("LO", "HI"))
     ap.add_argument("--test", action="store_true", help="10-iteration test schedule")
+    ap.add_argument("--test-stages", type=int, default=None,
+                    help="truncate the --test schedule to N stages (CI wall-time bound)")
     ap.add_argument("--limb-scaling", action="store_true", default=True)
     ap.add_argument("--unity-prior", default=None, metavar="NPZ",
                     help="unity shape-prior npz (reference use_unity_prior, fitter.py:86-107)")
@@ -112,7 +114,7 @@ def main(argv=None):
               f"(st{args.checkpoint_stage}_ep{args.checkpoint_epoch})")
 
     exporter = ImageExporter(out_dir, filenames)
-    schedule = test_schedule() if args.test else OPT_WEIGHTS
+    schedule = test_schedule(max_stages=args.test_stages) if args.test else OPT_WEIGHTS
 
     def visualize(stage_id, epoch):
         verts, joints3d = fitter.forward_frames()

@@ -86,6 +86,11 @@ def main(argv=None):
     ap.add_argument("--render-dir", default=None)
     ap.add_argument("--video", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--crop-mode", choices=["default", "centred", "bbox_crop"],
+                    default="default", help="raw-video input crop mode")
+    ap.add_argument("--sleap-predictions", default=None,
+                    help=".slp/.h5 predictions for bbox_crop + keypoint overlays")
+    ap.add_argument("--joint-lookup", default=None, help="sleap→model joint CSV")
     args = ap.parse_args(argv)
 
     import jax
@@ -99,10 +104,26 @@ def main(argv=None):
     model, cfg, rcfg, spec, params, batch_stats, meta = load_model_from_checkpoint(args.checkpoint)
     res = cfg.model.input_resolution or 224
 
-    from smilify_tpu.cli.train_regressor import build_dataset
+    from smilify_tpu.data.video import VideoFrameDataset
 
-    cfg.dataset.data_path = args.data_path
-    dataset, kind = build_dataset(cfg, spec)
+    if args.data_path.lower().endswith(VideoFrameDataset.VIDEO_EXTS):
+        # raw-video input with SLEAP-bbox crop modes
+        # (reference run_singleview_inference.py centred/default/bbox_crop)
+        from smilify_tpu.data.sleap_raw import read_joint_lookup_csv
+
+        dataset = VideoFrameDataset(
+            args.data_path, resolution=res, crop_mode=args.crop_mode,
+            sleap_predictions=args.sleap_predictions,
+            joint_names=list(spec.joint_names),
+            joint_lookup=read_joint_lookup_csv(args.joint_lookup) if args.joint_lookup else None,
+            max_frames=args.max_frames,
+        )
+        kind = "raw_video"
+    else:
+        from smilify_tpu.cli.train_regressor import build_dataset
+
+        cfg.dataset.data_path = args.data_path
+        dataset, kind = build_dataset(cfg, spec)
     n = len(dataset) if args.max_frames is None else min(len(dataset), args.max_frames)
     print(f"inference over {n} frames ({kind})")
 

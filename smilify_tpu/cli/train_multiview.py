@@ -76,6 +76,7 @@ def main(argv=None):
         num_views_to_use=cfg.multiview.num_views_to_use,
         view_sampling=cfg.multiview.view_sampling,
         seed=cfg.training.seed,
+        min_views=cfg.multiview.min_views_per_sample,
     )
     res = dataset.target_resolution
     V = cfg.multiview.num_views_to_use
@@ -117,16 +118,23 @@ def main(argv=None):
         joint_importance = jnp.asarray(joint_importance)
         print(f"joint importance active: min={float(joint_importance.min())} "
               f"max={float(joint_importance.max())}")
+    from smilify_tpu.train.config import resolve_ignored_joint_indices
+
+    ignored_idx = resolve_ignored_joint_indices(cfg, spec.joint_names)
 
     host_rng = np.random.default_rng(cfg.training.seed)
     state = TrainState(params=replicate(mesh, params), batch_stats=replicate(mesh, batch_stats),
                        opt_state=None)
-    state, start_epoch = try_resume(args.output_dir, args.resume, state)
+    state, start_epoch = try_resume(
+        args.output_dir, args.resume or cfg.training.resume_checkpoint, state,
+        reset_ief_token_embedding=cfg.training.reset_ief_token_embedding,
+    )
     current = {"key": None, "step_fn": None, "tx": None}
 
     def make_loss(weights):
         return make_multiview_loss_fn(spec, rcfg, weights, (H, W),
-                                      joint_importance=joint_importance)
+                                      joint_importance=joint_importance,
+                                      ignored_joint_indices=ignored_idx)
 
     t0 = time.time()
     for epoch in range(start_epoch, cfg.training.num_epochs):
@@ -209,7 +217,7 @@ def main(argv=None):
             save_checkpoint(args.output_dir, state, cfg, name="final_model")
             from smilify_tpu.train.trainer import plot_training_history
 
-            plot_training_history(state.history, os.path.join(args.output_dir, "plots"))
+            plot_training_history(state.history, os.path.join(args.output_dir, cfg.output.plots_dir))
             print("checkpoint saved")
 
     return state

@@ -35,9 +35,14 @@ def build_dataset(cfg, spec):
     from smilify_tpu.data.hdf5_dataset import MultiViewHDF5Dataset, SingleViewHDF5Dataset, detect_dataset_type
     from smilify_tpu.data.replicant import ReplicantDataset
 
+    res = cfg.model.input_resolution or 224
+    if cfg.multi_dataset.enabled:
+        # weighted multi-dataset mixing (reference CombinedSMILDataset)
+        from smilify_tpu.data.combined import build_combined_from_config
+
+        return build_combined_from_config(cfg, joint_names=spec.joint_names), "combined"
     path = cfg.dataset.data_path
     kind = detect_dataset_type(path)
-    res = cfg.model.input_resolution or 224
     if kind == "replicant_raw":
         return ReplicantDataset(path, spec.joint_names, image_size=res), kind
     if kind.endswith("multiview") or kind == "sleap_multiview":
@@ -113,6 +118,12 @@ def main(argv=None):
         tr_idx, val_idx, te_idx = split_dataset_grouped(
             dataset.item_sample_indices, ratios, cfg.training.seed
         )
+    elif kind == "combined" and cfg.multi_dataset.validation_split_strategy == "per_dataset":
+        from smilify_tpu.train.trainer import split_dataset_per_group
+
+        tr_idx, val_idx, te_idx = split_dataset_per_group(
+            dataset.group_ids, ratios, cfg.training.seed
+        )
     else:
         tr_idx, val_idx, te_idx = split_dataset(len(dataset), ratios, cfg.training.seed)
     train_ds = SubsetDataset(dataset, tr_idx)
@@ -142,6 +153,18 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
 
+    from smilify_tpu.train.config import (
+        resolve_ignored_joint_indices,
+        resolve_joint_importance,
+    )
+
+    joint_importance = resolve_joint_importance(cfg, spec)
+    if joint_importance is not None:
+        joint_importance = jnp.asarray(joint_importance)
+        print(f"joint importance active: min={float(joint_importance.min())} "
+              f"max={float(joint_importance.max())}")
+    ignored_idx = resolve_ignored_joint_indices(cfg, spec.joint_names)
+
     def apply_fn(variables, batch, train):
         out, mutated = model.apply(
             variables, batch["image"], train=train,
@@ -157,7 +180,10 @@ def main(argv=None):
     host_rng = np.random.default_rng(cfg.training.seed)
     state = TrainState(params=replicate(mesh, params), batch_stats=replicate(mesh, batch_stats),
                        opt_state=None)
-    state, start_epoch = try_resume(args.output_dir, args.resume, state)
+    state, start_epoch = try_resume(
+        args.output_dir, args.resume or cfg.training.resume_checkpoint, state,
+        reset_ief_token_embedding=cfg.training.reset_ief_token_embedding,
+    )
 
     current = {"weights": None, "lr": None, "frozen": None, "step_fn": None, "tx": None}
 
@@ -173,7 +199,12 @@ def main(argv=None):
             targets["betas"] = targets["betas"][..., : spec.n_betas]
         if "keypoints_2d" in batch:
             targets["keypoints_2d"] = batch["keypoints_2d"]
-            targets["kp_visibility"] = batch.get("keypoint_visibility")
+            vis = batch.get("keypoint_visibility")
+            if vis is not None and ignored_idx:
+                # ignored_joints: drop these joints from 2D supervision
+                # (reference dataset_preprocessing.py:108-137 zeroes visibility)
+                vis = vis * jnp.ones(vis.shape[-1]).at[jnp.asarray(ignored_idx)].set(0.0)
+            targets["kp_visibility"] = vis
         return targets
 
     t_start = time.time()
@@ -189,7 +220,8 @@ def main(argv=None):
 
             def loss_fn(preds, batch, w=dict(weights)):
                 return compute_batch_loss(
-                    spec, rcfg, preds, target_dict(batch), w, image_size=(res, res)
+                    spec, rcfg, preds, target_dict(batch), w, image_size=(res, res),
+                    joint_importance=joint_importance,
                 )
 
             from smilify_tpu.train.trainer import make_eval_step
@@ -263,7 +295,7 @@ def main(argv=None):
             save_checkpoint(args.output_dir, state, cfg, name="final_model")
             from smilify_tpu.train.trainer import plot_training_history
 
-            plot_training_history(state.history, os.path.join(args.output_dir, "plots"))
+            plot_training_history(state.history, os.path.join(args.output_dir, cfg.output.plots_dir))
             print(f"checkpoint → {path}")
 
     return state

@@ -112,6 +112,8 @@ def load_model_spec(
     *,
     align_symmetry: bool = True,
     spatial_sort_faces: bool = True,
+    shape_family: int = -1,
+    smal_data_file: Optional[str] = None,
     dtype=jnp.float32,
 ) -> ModelSpec:
     """Load a ``.pkl`` model asset into a :class:`ModelSpec`.
@@ -120,10 +122,20 @@ def load_model_spec(
     default for custom models (config.py:52): the template is used as-is.
     ``spatial_sort_faces`` reorders the (semantically order-free) face list
     along a Morton curve for rasterizer cull locality.
+    ``shape_family >= 0`` bakes that family's cluster-mean betas (from the
+    legacy SMAL data file) into the template — the reference's
+    ``shape_family_id`` path (smal_torch.py:133-139); SMIL models use -1.
     """
     dd = load_raw_model(path)
 
     v_template = np.asarray(dd["v_template"], dtype=np.float64)
+    if shape_family is not None and shape_family >= 0:
+        if not smal_data_file:
+            raise ValueError("shape_family >= 0 needs smal_data_file (cluster means)")
+        data = load_raw_model(smal_data_file)
+        betas_fam = np.asarray(data["cluster_means"][shape_family], dtype=np.float64)
+        sdir = np.asarray(dd["shapedirs"], dtype=np.float64).reshape(-1, betas_fam.shape[0])
+        v_template = v_template + (sdir @ betas_fam).reshape(v_template.shape)
     faces = np.asarray(dd["f"], dtype=np.int32)
     V = v_template.shape[0]
     if spatial_sort_faces and len(faces):

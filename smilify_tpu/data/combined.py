@@ -85,6 +85,14 @@ class CombinedDataset:
         sample["dataset_name"] = self.names[d]
         return sample
 
+    @property
+    def group_ids(self) -> np.ndarray:
+        """Dataset id per flat sample index (for per-dataset split strategies)."""
+        out = np.zeros(len(self), np.int64)
+        for d in range(len(self.datasets)):
+            out[self.offsets[d] : self.offsets[d + 1]] = d
+        return out
+
     def sampling_weights(self) -> np.ndarray:
         """Per-sample weights: dataset weight spread over its samples."""
         w = np.zeros(len(self))

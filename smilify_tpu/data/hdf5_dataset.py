@@ -213,6 +213,7 @@ class MultiViewHDF5Dataset:
         preferred_view: int = 0,
         camera_centric: bool = False,
         expand_all_views: bool = False,
+        min_views: int = 1,
     ):
         import h5py
 
@@ -224,6 +225,7 @@ class MultiViewHDF5Dataset:
         self.preferred_view = preferred_view
         self.camera_centric = camera_centric
         self.expand_all_views = expand_all_views
+        self.min_views = min_views
         self.rng = np.random.default_rng(seed)
         with h5py.File(path, "r") as f:
             m = dict(f["metadata"].attrs)
@@ -243,6 +245,15 @@ class MultiViewHDF5Dataset:
                 else (0.001 if (norms.size and np.median(norms) > 50.0) else 1.0)
             )
 
+        # samples with fewer than min_views valid views are filtered out of
+        # the index (reference multiview.min_views_per_sample)
+        self._sample_index = None
+        if min_views > 1:
+            with h5py.File(path, "r") as f:
+                counts = f["multiview_images/view_mask"][:].sum(axis=1)
+            self._sample_index = np.nonzero(counts >= min_views)[0]
+            self.num_samples = len(self._sample_index)
+
         if self.return_single_view and self.expand_all_views:
             # flat per-view index (reference expand_all_views,
             # sleap_multiview_dataset.py:298): every valid view is an item;
@@ -250,9 +261,16 @@ class MultiViewHDF5Dataset:
             # leaks across train/val/test
             with h5py.File(path, "r") as f:
                 vm = f["multiview_images/view_mask"][:]
+            keep = (self._sample_index if self._sample_index is not None
+                    else range(vm.shape[0]))
             self._sv_items = [(int(s), int(v))
-                              for s in range(vm.shape[0]) for v in np.nonzero(vm[s])[0]]
+                              for s in keep for v in np.nonzero(vm[s])[0]]
             self.item_sample_indices = np.asarray([s for s, _ in self._sv_items], np.int64)
+
+    def _resolve_sample(self, idx: int) -> int:
+        if self._sample_index is not None:
+            return int(self._sample_index[idx])
+        return idx
 
     @property
     def file(self):
@@ -291,10 +309,10 @@ class MultiViewHDF5Dataset:
         if self.expand_all_views:
             s, v = self._sv_items[idx]
         else:
-            s = idx
-            valid = np.nonzero(f["multiview_images/view_mask"][idx])[0]
+            s = self._resolve_sample(idx)
+            valid = np.nonzero(f["multiview_images/view_mask"][s])[0]
             if len(valid) == 0:
-                raise IndexError(f"sample {idx} has no valid views")
+                raise IndexError(f"sample {s} has no valid views")
             v = self.preferred_view if self.preferred_view in valid else int(valid[0])
 
         ws = self.world_scale
@@ -345,6 +363,7 @@ class MultiViewHDF5Dataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         if self.return_single_view:
             return self._get_single_view(idx)
+        idx = self._resolve_sample(idx)
         f = self.file
         vm_full = f["multiview_images/view_mask"][idx]
         valid = np.nonzero(vm_full)[0]

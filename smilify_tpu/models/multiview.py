@@ -61,6 +61,10 @@ class MultiViewConfig(RegressorConfig):
     fusion_heads: int = 8
     fusion_layers: int = 2
     camera_delta_mode: bool = False  # predict deltas from GT camera init
+    # run the shared backbone over at most this many views at once — the
+    # memory/remat knob replacing the reference's VRAM chunking
+    # (multiview_smil_regressor.py:475-493); None = all B·V images in one pass
+    backbone_chunk_size: Optional[int] = None
 
     def body_group_dims(self):
         rot = 6 if self.rotation_representation == "6d" else 3
@@ -156,7 +160,22 @@ class MultiViewSMILRegressor(nn.Module):
         B, V = images.shape[:2]
         backbone, feat_dim = create_backbone(cfg.backbone, dtype=cfg.compute_dtype)
         flat = images.reshape((B * V,) + images.shape[2:])
-        feats = backbone(flat, train=train)
+        if cfg.backbone_chunk_size and cfg.backbone_chunk_size < B * V:
+            # chunked backbone passes bound peak activation memory with a
+            # remat per chunk (reference VRAM chunking, :475-493); the chunk
+            # count is static so jit unrolls it
+            chunk = cfg.backbone_chunk_size
+            pad = (-flat.shape[0]) % chunk
+            flat_p = jnp.pad(flat, ((0, pad),) + ((0, 0),) * (flat.ndim - 1))
+            parts = [
+                backbone(flat_p[i:i + chunk], train=train)
+                for i in range(0, flat_p.shape[0], chunk)
+            ]
+            feats = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0)[: B * V], *parts
+            )
+        else:
+            feats = backbone(flat, train=train)
 
         pooled = feats.pooled.reshape(B, V, -1)
         T = feats.tokens.shape[1]
@@ -182,6 +201,7 @@ class MultiViewSMILRegressor(nn.Module):
             dim=cfg.decoder_dim,
             depth=cfg.decoder_depth,
             num_heads=cfg.decoder_heads,
+            mlp_dim=cfg.decoder_mlp_dim,
             ief_iters=cfg.ief_iters,
             n_pose=cfg.n_pose,
             name="body_head",
@@ -296,7 +316,7 @@ def compute_multiview_batch_loss(
         or (w.get("triangulation_consistency", 0) > 0 and "keypoints_2d" in targets)
     )
     if needs_3d:
-        verts, joints3d = forward_model(spec, preds)
+        verts, joints3d = forward_model(spec, preds, use_ue_scaling=cfg.use_ue_scaling)
 
         if w.get("keypoint_2d", 0) > 0 and "keypoints_2d" in targets:
             kp_pred = project_through_view_cameras(preds, joints3d, image_size)  # (B,V,K,2)

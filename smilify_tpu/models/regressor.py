@@ -71,9 +71,20 @@ class RegressorConfig:
     decoder_dim: int = 512
     decoder_depth: int = 4
     decoder_heads: int = 8
+    decoder_mlp_dim: Optional[int] = None   # None → 4×dim (reference transformer_mlp_dim)
     mlp_hidden: int = 1024
     dropout: float = 0.1
     compute_dtype: Any = jnp.bfloat16
+    # per-joint translation outputs scaled down to ease optimization
+    # (reference transformer_decoder.py:132 trans_scale_factor)
+    trans_scale_factor: float = 1.0
+    # optional global mesh-scale output (reference mesh_scaling config,
+    # smil_image_regressor.py:2677: center at root, scale, translate)
+    allow_mesh_scaling: bool = False
+    init_mesh_scale: float = 1.0
+    use_log_mesh_scale: bool = True
+    # replicAnt UE convention: ×10 about the root (smil_image_regressor.py:2672)
+    use_ue_scaling: bool = False
 
     def group_dims(self):
         rot = 6 if self.rotation_representation == "6d" else 3
@@ -94,6 +105,8 @@ class RegressorConfig:
                     ("log_beta_scales", self.n_joints * 3),
                     ("betas_trans", self.n_joints * 3),
                 ]
+        if self.allow_mesh_scaling:
+            groups += [("mesh_scale", 1)]
         return tuple(groups)
 
 
@@ -113,6 +126,7 @@ class SMILRegressor(nn.Module):
                 dim=cfg.decoder_dim,
                 depth=cfg.decoder_depth,
                 num_heads=cfg.decoder_heads,
+                mlp_dim=cfg.decoder_mlp_dim,
                 ief_iters=cfg.ief_iters,
                 n_pose=cfg.n_pose,
             )
@@ -184,21 +198,42 @@ def decode_predictions(cfg: RegressorConfig, raw: Dict[str, jnp.ndarray], spec: 
         out["betas_trans"] = jnp.einsum(
             "nb,bjc->njc", raw["betas"], spec.transdirs, precision=HIGHEST
         )
+    if "betas_trans" in out and cfg.trans_scale_factor != 1.0:
+        out["betas_trans"] = out["betas_trans"] * cfg.trans_scale_factor
+    if cfg.allow_mesh_scaling and "mesh_scale" in raw:
+        ms = raw["mesh_scale"][:, 0]
+        out["mesh_scale"] = (
+            jnp.exp(ms) * cfg.init_mesh_scale if cfg.use_log_mesh_scale
+            else ms + cfg.init_mesh_scale
+        )
     return out
 
 
-def forward_model(spec: ModelSpec, preds: Dict[str, jnp.ndarray], propagate_scaling: bool = False):
-    """SMIL forward with predicted parameters → (verts, joints3d) in model space."""
+def forward_model(spec: ModelSpec, preds: Dict[str, jnp.ndarray],
+                  propagate_scaling: bool = False, use_ue_scaling: bool = False):
+    """SMIL forward with predicted parameters → (verts, joints3d) in model space.
+
+    ``use_ue_scaling`` applies the replicAnt ×10-about-root convention;
+    a ``mesh_scale`` prediction applies a learned scale about the root
+    (reference smil_image_regressor.py:2671-2687)."""
     theta = jnp.concatenate([preds["global_rot"][:, None, :], preds["joint_rot"]], axis=1)
+    scaled = use_ue_scaling or "mesh_scale" in preds
     out = smil_forward(
         spec,
         preds["betas"],
         theta,
-        trans=preds["trans"],
+        trans=None if scaled else preds["trans"],
         log_scales=preds.get("log_beta_scales"),
         joint_trans=preds.get("betas_trans"),
         propagate_scaling=propagate_scaling,
     )
+    if scaled:
+        s = 10.0 if use_ue_scaling else preds["mesh_scale"][:, None, None]
+        root = out.j_transformed[:, :1, :]
+        trans = preds["trans"][:, None, :]
+        verts = (out.verts - root) * s + trans
+        joints = (out.joints - root) * s + trans
+        return verts, joints
     joints = out.joints
     if spec.static_joint_locations:
         joints = joints + preds["trans"][:, None, :]
@@ -328,7 +363,7 @@ def compute_batch_loss(
         or (w["silhouette"] > 0 and "silhouette" in targets and render_silhouette_fn is not None)
     )
     if needs_geometry:
-        verts, joints3d = forward_model(spec, preds)
+        verts, joints3d = forward_model(spec, preds, use_ue_scaling=cfg.use_ue_scaling)
         kp_vis = targets.get("kp_visibility")
         validity = compute_sample_validity(kp_vis, targets.get("silhouette"))
 

@@ -43,6 +43,7 @@ class DecoderLayer(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    mlp_dim: int | None = None   # explicit width (reference transformer_mlp_dim)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -57,7 +58,7 @@ class DecoderLayer(nn.Module):
         query = query + y
         # feed-forward
         y = nn.LayerNorm(dtype=self.dtype)(query)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
+        y = nn.Dense(self.mlp_dim or int(self.dim * self.mlp_ratio), dtype=self.dtype)(y)
         y = nn.gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype)(y)
         return query + y
@@ -77,6 +78,7 @@ class SMILTransformerDecoderHead(nn.Module):
     dim: int = 512
     depth: int = 4
     num_heads: int = 8
+    mlp_dim: int | None = None
     ief_iters: int = 3
     n_pose: int = 0
     token_dim: int = 0  # backbone token feature dim (0 → assume == dim)
@@ -99,7 +101,7 @@ class SMILTransformerDecoderHead(nn.Module):
         embed = nn.Dense(self.dim, dtype=self.dtype, name="estimate_embed")
         pre_norm = nn.LayerNorm(name="estimate_norm")
         layers = [
-            DecoderLayer(self.dim, self.num_heads, dtype=self.dtype, name=f"layer_{i}")
+            DecoderLayer(self.dim, self.num_heads, mlp_dim=self.mlp_dim, dtype=self.dtype, name=f"layer_{i}")
             for i in range(self.depth)
         ]
         heads = {

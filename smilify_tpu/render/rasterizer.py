@@ -56,6 +56,10 @@ GROUPS_PER_WORD = WORD // FACE_GROUP
 # softplus(-d/σ) < 8.3e-7 once d > 14σ — faces farther than this contribute
 # less than ~2e-5 alpha even with dozens of them at the cutoff
 CULL_MARGIN_SQ_SIGMAS = 14.0
+# once EVERY pixel of a tile has S > 20 (alpha within e⁻²⁰≈2e-9 of 1), later
+# face chunks cannot change the tile — interior tiles skip their whole depth
+# stack (one covering face already contributes |d|/σ ≫ 20)
+SATURATION_S = 20.0
 # v5e SMEM is 1 MB; the scalar-prefetch cull mask must fit (with headroom for
 # other SMEM users), so large frame windows are split into sub-batches
 SMEM_MASK_BUDGET_BYTES = 384 * 1024
@@ -138,15 +142,19 @@ def _fwd_kernel(mask_ref, face_ref, S_ref, *, H, W, n_tx, n_tiles, n_chunks, inv
 
     @pl.when(any_bits > 0)
     def _():
-        px, py = _pixel_coords(t, n_tx, H, W, S_ref.dtype)
-        for w in range(N_WORDS):
-            for g in range(GROUPS_PER_WORD):
-                @pl.when((words[w] >> g) & 1 > 0)
-                def _(w=w, g=g):
-                    ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, w, g)
-                    d, _ = _signed_distance(px, py, ax, ay, bx, by, cx, cy)  # (8, TILE_PIX)
-                    contrib = valid * jax.nn.softplus(-d * inv_sigma)
-                    S_ref[:] += jnp.sum(contrib, axis=0, keepdims=True)[None, None]
+        # saturation early-out: checked only on bitmask-active programs so
+        # culled programs stay free of the (1, 1024) reduction
+        @pl.when(jnp.min(S_ref[...]) < SATURATION_S)
+        def _():
+            px, py = _pixel_coords(t, n_tx, H, W, S_ref.dtype)
+            for w in range(N_WORDS):
+                for g in range(GROUPS_PER_WORD):
+                    @pl.when((words[w] >> g) & 1 > 0)
+                    def _(w=w, g=g):
+                        ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, w, g)
+                        d, _ = _signed_distance(px, py, ax, ay, bx, by, cx, cy)
+                        contrib = valid * jax.nn.softplus(-d * inv_sigma)
+                        S_ref[:] += jnp.sum(contrib, axis=0, keepdims=True)[None, None]
 
 
 def _fwd_pallas(face_data, tile_mask_flat, H, W, sigma, interpret=False):
@@ -203,44 +211,55 @@ def _bwd_kernel(mask_ref, face_ref, g_ref, dface_ref, *, H, W, n_tx, n_tiles, n_
 
     @pl.when(any_bits > 0)
     def _():
-        px, py = _pixel_coords(t, n_tx, H, W, g_ref.dtype)
-        G = g_ref[0, 0]  # (1, TILE_PIX)
+        # gS already carries the e^{−S} factor from alpha = 1 − e^{−S}:
+        # saturated (or loss-untouched) tiles have exactly-zero f32 gradient
+        # everywhere and skip their whole depth stack; checked only on
+        # bitmask-active programs
+        @pl.when(jnp.max(jnp.abs(g_ref[...])) > 1e-12)
+        def _():
+            _bwd_tile_body(mask_ref, face_ref, g_ref, dface_ref, words, t,
+                           n_tx=n_tx, H=H, W=W, inv_sigma=inv_sigma)
 
-        for w in range(N_WORDS):
-            for g in range(GROUPS_PER_WORD):
-                @pl.when((words[w] >> g) & 1 > 0)
-                def _(w=w, g=g):
-                    ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, w, g)
-                    d, aux = _signed_distance(px, py, ax, ay, bx, by, cx, cy)
-                    (d1, t1, r1x, r1y, d2, t2, r2x, r2y, d3, t3, r3x, r3y, dmin, sign) = aux
 
-                    # dS/d(d_signed) = −sigmoid(−d/σ)/σ; chain with sign for dmin
-                    wgt = G * valid * jax.nn.sigmoid(-d * inv_sigma) * (-inv_sigma) * sign
+def _bwd_tile_body(mask_ref, face_ref, g_ref, dface_ref, words, t, *, n_tx, H, W, inv_sigma):
+    px, py = _pixel_coords(t, n_tx, H, W, g_ref.dtype)
+    G = g_ref[0, 0]  # (1, TILE_PIX)
 
-                    e1 = jnp.logical_and(d1 <= d2, d1 <= d3)
-                    e2 = jnp.logical_and(~e1, d2 <= d3)
-                    e3 = jnp.logical_and(~e1, ~e2)
-                    f1 = jnp.where(e1, wgt, 0.0)
-                    f2 = jnp.where(e2, wgt, 0.0)
-                    f3 = jnp.where(e3, wgt, 0.0)
+    for w in range(N_WORDS):
+        for g in range(GROUPS_PER_WORD):
+            @pl.when((words[w] >> g) & 1 > 0)
+            def _(w=w, g=g):
+                ax, ay, bx, by, cx, cy, valid = _face_group(face_ref, w, g)
+                d, aux = _signed_distance(px, py, ax, ay, bx, by, cx, cy)
+                (d1, t1, r1x, r1y, d2, t2, r2x, r2y, d3, t3, r3x, r3y, dmin, sign) = aux
 
-                    # point-segment grads at optimal t (envelope): r = p−u−t(v−u)
-                    # ∂d/∂u = −2(1−t)r ; ∂d/∂v = −2t·r — reduce over the 1024 pixels
-                    def rsum(x):
-                        return jnp.sum(x, axis=1, keepdims=True)  # (8, 1)
+                # dS/d(d_signed) = −sigmoid(−d/σ)/σ; chain with sign for dmin
+                wgt = G * valid * jax.nn.sigmoid(-d * inv_sigma) * (-inv_sigma) * sign
 
-                    gax = rsum(f1 * (-2.0) * (1.0 - t1) * r1x + f3 * (-2.0) * t3 * r3x)
-                    gay = rsum(f1 * (-2.0) * (1.0 - t1) * r1y + f3 * (-2.0) * t3 * r3y)
-                    gbx = rsum(f1 * (-2.0) * t1 * r1x + f2 * (-2.0) * (1.0 - t2) * r2x)
-                    gby = rsum(f1 * (-2.0) * t1 * r1y + f2 * (-2.0) * (1.0 - t2) * r2y)
-                    gcx = rsum(f2 * (-2.0) * t2 * r2x + f3 * (-2.0) * (1.0 - t3) * r3x)
-                    gcy = rsum(f2 * (-2.0) * t2 * r2y + f3 * (-2.0) * (1.0 - t3) * r3y)
-                    grad8 = jnp.concatenate(
-                        [gax, gay, gbx, gby, gcx, gcy, jnp.zeros_like(gax), jnp.zeros_like(gax)],
-                        axis=1,
-                    )  # (8, 8) — attrs in columns, zero for valid/pad slots
-                    base_f = w * WORD + g * FACE_GROUP
-                    dface_ref[0, 0, base_f:base_f + FACE_GROUP, :] += grad8
+                e1 = jnp.logical_and(d1 <= d2, d1 <= d3)
+                e2 = jnp.logical_and(~e1, d2 <= d3)
+                e3 = jnp.logical_and(~e1, ~e2)
+                f1 = jnp.where(e1, wgt, 0.0)
+                f2 = jnp.where(e2, wgt, 0.0)
+                f3 = jnp.where(e3, wgt, 0.0)
+
+                # point-segment grads at optimal t (envelope): r = p−u−t(v−u)
+                # ∂d/∂u = −2(1−t)r ; ∂d/∂v = −2t·r — reduce over the 1024 pixels
+                def rsum(x):
+                    return jnp.sum(x, axis=1, keepdims=True)  # (8, 1)
+
+                gax = rsum(f1 * (-2.0) * (1.0 - t1) * r1x + f3 * (-2.0) * t3 * r3x)
+                gay = rsum(f1 * (-2.0) * (1.0 - t1) * r1y + f3 * (-2.0) * t3 * r3y)
+                gbx = rsum(f1 * (-2.0) * t1 * r1x + f2 * (-2.0) * (1.0 - t2) * r2x)
+                gby = rsum(f1 * (-2.0) * t1 * r1y + f2 * (-2.0) * (1.0 - t2) * r2y)
+                gcx = rsum(f2 * (-2.0) * t2 * r2x + f3 * (-2.0) * (1.0 - t3) * r3x)
+                gcy = rsum(f2 * (-2.0) * t2 * r2y + f3 * (-2.0) * (1.0 - t3) * r3y)
+                grad8 = jnp.concatenate(
+                    [gax, gay, gbx, gby, gcx, gcy, jnp.zeros_like(gax), jnp.zeros_like(gax)],
+                    axis=1,
+                )  # (8, 8) — attrs in columns, zero for valid/pad slots
+                base_f = w * WORD + g * FACE_GROUP
+                dface_ref[0, 0, base_f:base_f + FACE_GROUP, :] += grad8
 
 
 def _bwd_pallas(face_data, tile_mask_flat, gS, H, W, sigma, interpret=False):

@@ -28,10 +28,16 @@ class DatasetConfig:
     val_ratio: float = 0.05
     test_ratio: float = 0.1
     dataset_fraction: float = 0.5
-    from_multiview: bool = False
+    # (the reference's from_multiview flag is superseded by auto-dispatch on
+    # the HDF5 metadata — multiview files always go through the
+    # single-view-from-multiview path in the single-view trainer)
     frame_convention: str = "model_centric"   # or 'camera_centric'
     expand_all_views: bool = True
-    use_ue_scaling: bool = True
+    # ×10-about-root UE transform in the model forward (reference
+    # smil_image_regressor.py:2672). Our replicAnt loader re-parameterizes to
+    # model-at-origin with metric units (translation_factor), so this defaults
+    # off; enable for datasets storing reference-style UE-unit ground truth.
+    use_ue_scaling: bool = False
 
 
 @dataclass
@@ -45,8 +51,11 @@ class ModelConfig:
     backbone_lr_multiplier: float = 0.1
     hidden_dim: int = 1024
     head_type: str = "transformer_decoder"    # 'mlp' or 'transformer_decoder'
-    use_unity_prior: bool = False
-    rgb_only: bool = False
+    # NOTE: the reference schema also carries use_unity_prior / rgb_only here
+    # (base_config.py:86-87) only to forward them into its SMALFitter base
+    # class. Our regressor has no fitter base; the equivalents are the fitter
+    # CLI flags --unity-prior / --texture (cli/optimize_to_joints.py). Unknown
+    # JSON keys from reference configs are warned about and ignored.
     input_resolution: Optional[int] = None
     transformer_depth: int = 6
     transformer_heads: int = 8
@@ -124,7 +133,11 @@ class ScaleTransBetaConfig:
 
 @dataclass
 class MeshScalingConfig:
-    allow_mesh_scaling: bool = True
+    # the reference defaults this on (base_config.py:390); we default it off
+    # because our canonical-frame GT (model-at-origin, verts+trans) conflicts
+    # with the scale path's center-at-root re-anchoring unless the dataset's
+    # scale really is unknown — enable explicitly for such data
+    allow_mesh_scaling: bool = False
     init_mesh_scale: float = 1.0
     use_log_scale: bool = True
 
@@ -141,6 +154,8 @@ class AugmentationConfig:
     gaussian_blur_kernel_range: Tuple[int, int] = (3, 7)
     random_erasing_prob: float = 0.2
     random_erasing_scale_range: Tuple[float, float] = (0.02, 0.1)
+    # kept 0 like the reference: crop jitter is incompatible with
+    # FoVPerspectiveCameras supervision (base_config.py:403,424)
     crop_jitter_fraction: float = 0.0
     scale_jitter_range: Tuple[float, float] = (0.9, 1.1)
 
@@ -190,7 +205,6 @@ class TrainingHyperparameters:
     seed: int = 1234
     rotation_representation: str = "6d"
     num_workers: int = 8
-    pin_memory: bool = True
     prefetch_factor: int = 4
     resume_checkpoint: Optional[str] = None
     reset_ief_token_embedding: bool = False
@@ -204,6 +218,9 @@ class TrainingHyperparameters:
 class SmalModelConfig:
     smal_file: Optional[str] = None
     shape_family: Optional[int] = None
+    # legacy SMAL data file holding per-family cluster means (reference
+    # config.SMAL_DATA_FILE); only needed when shape_family >= 0
+    smal_data_file: Optional[str] = None
 
 
 @dataclass
@@ -289,6 +306,8 @@ class TrainingConfig:
         from smilify_tpu.models.multiview import MultiViewConfig
         from smilify_tpu.models.regressor import RegressorConfig
 
+        import jax.numpy as jnp
+
         common = dict(
             backbone=self.model.backbone_name,
             head_type="transformer" if self.model.head_type == "transformer_decoder" else "mlp",
@@ -299,10 +318,19 @@ class TrainingConfig:
             scale_trans_mode=self.scale_trans_beta.mode,
             use_pca_scale_trans=self.scale_trans_beta.use_pca_transformation,
             ief_iters=self.model.transformer_ief_iters,
+            decoder_dim=self.model.transformer_heads * self.model.transformer_dim_head,
             decoder_depth=self.model.transformer_depth,
             decoder_heads=self.model.transformer_heads,
+            decoder_mlp_dim=self.model.transformer_mlp_dim,
             mlp_hidden=self.model.hidden_dim,
             dropout=self.model.transformer_dropout,
+            trans_scale_factor=float(self.model.transformer_trans_scale_factor),
+            # bf16 on TPU MXU unless mixed precision is disabled
+            compute_dtype=jnp.bfloat16 if self.training.use_mixed_precision else jnp.float32,
+            allow_mesh_scaling=self.mesh_scaling.allow_mesh_scaling,
+            init_mesh_scale=self.mesh_scaling.init_mesh_scale,
+            use_log_mesh_scale=self.mesh_scaling.use_log_scale,
+            use_ue_scaling=self.dataset.use_ue_scaling,
         )
         if self.mode == "multi_view":
             return MultiViewConfig(
@@ -312,6 +340,7 @@ class TrainingConfig:
                 fusion_heads=self.multiview.cross_attention_heads,
                 fusion_layers=self.multiview.cross_attention_layers,
                 camera_delta_mode=self.training.use_gt_camera_init,
+                backbone_chunk_size=self.training.backbone_chunk_size,
             )
         return RegressorConfig(**common)
 
@@ -463,4 +492,9 @@ def resolve_model_spec(cfg: TrainingConfig, default_path: Optional[str] = None):
     path = cfg.smal_model.smal_file or default_path
     if path is None:
         raise ValueError("smal_model.smal_file not set and no default provided")
-    return load_model_spec(path, align_symmetry=False)
+    fam = cfg.smal_model.shape_family
+    return load_model_spec(
+        path, align_symmetry=False,
+        shape_family=-1 if fam is None else int(fam),
+        smal_data_file=cfg.smal_model.smal_data_file,
+    )

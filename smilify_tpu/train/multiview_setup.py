@@ -72,24 +72,31 @@ def make_multiview_apply_fn(model, rcfg, spec, image_size: Tuple[int, int]):
 
 def make_multiview_loss_fn(spec, rcfg, weights: Dict[str, float],
                            image_size: Tuple[int, int],
-                           joint_importance=None):
+                           joint_importance=None,
+                           ignored_joint_indices=None):
     """Build ``loss_fn(preds, batch) -> (total, components)``.
 
     ``joint_importance`` is an optional (K,) per-joint weight array (see
-    :func:`smilify_tpu.train.config.resolve_joint_importance`)."""
+    :func:`smilify_tpu.train.config.resolve_joint_importance`);
+    ``ignored_joint_indices`` drops those joints from 2D supervision
+    (reference ignored_joints, zeroed at preprocessing time)."""
     from smilify_tpu.models.multiview import compute_multiview_batch_loss
 
     H, W = image_size
 
     def loss_fn(preds, batch):
         gt_cams = batch_to_view_cams(batch, image_size)
+        vis = batch["keypoint_visibility"]
+        if ignored_joint_indices:
+            vis = vis * jnp.ones(vis.shape[-1]).at[
+                jnp.asarray(ignored_joint_indices)].set(0.0)
         targets = {
             "global_rot": batch["global_rot"],
             "joint_rot": batch["joint_rot"],
             "betas": batch["betas"][..., : spec.n_betas],
             "trans": batch["trans"],
             "keypoints_2d": batch["keypoints_2d"] / jnp.asarray([H, W], jnp.float32),
-            "kp_visibility": batch["keypoint_visibility"],
+            "kp_visibility": vis,
             "keypoints_3d": batch["keypoints_3d"],
             **gt_cams,
         }

@@ -72,7 +72,8 @@ def build_optimizer(
     lr: float,
     backbone_frozen: bool,
 ):
-    """AdamW + clip, with the backbone as a separate (possibly frozen) group."""
+    """Adam/AdamW (optimizer.optimizer_type) + clip, with the backbone as a
+    separate (possibly frozen) group."""
 
     def label_fn(params):
         def label(path_key):
@@ -85,10 +86,15 @@ def build_optimizer(
 
         return jax.tree_util.tree_map_with_path(lambda p, _: label(p), params)
 
-    head_tx = optax.adamw(lr, weight_decay=cfg.optimizer.weight_decay)
-    backbone_tx = optax.adamw(
-        lr * cfg.model.backbone_lr_multiplier, weight_decay=cfg.optimizer.weight_decay
-    )
+    kind = cfg.optimizer.optimizer_type.lower()
+    if kind == "adam":
+        make = lambda r: optax.adam(r)  # noqa: E731
+    elif kind == "adamw":
+        make = lambda r: optax.adamw(r, weight_decay=cfg.optimizer.weight_decay)  # noqa: E731
+    else:
+        raise ValueError(f"unknown optimizer_type '{cfg.optimizer.optimizer_type}'")
+    head_tx = make(lr)
+    backbone_tx = make(lr * cfg.model.backbone_lr_multiplier)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.optimizer.gradient_clip_norm),
         optax.multi_transform(
@@ -387,6 +393,19 @@ def split_dataset_grouped(groups: np.ndarray, ratios: Tuple[float, float, float]
     )
 
 
+def split_dataset_per_group(groups: np.ndarray, ratios: Tuple[float, float, float], seed: int):
+    """Split WITHIN each group and concatenate — every group contributes to
+    every split (the reference's 'per_dataset' validation_split_strategy for
+    combined datasets, train_smil_regressor.py:1582)."""
+    groups = np.asarray(groups)
+    tr, va, te = [], [], []
+    for g in np.unique(groups):
+        idx = np.nonzero(groups == g)[0]
+        t, v, e = split_dataset(len(idx), ratios, seed + int(g))
+        tr.append(idx[t]); va.append(idx[v]); te.append(idx[e])
+    return np.concatenate(tr), np.concatenate(va), np.concatenate(te)
+
+
 class SubsetDataset:
     """Index-subset view of a map-style dataset."""
 
@@ -401,10 +420,15 @@ class SubsetDataset:
         return self.dataset[int(self.indices[i])]
 
 
-def try_resume(ckpt_dir: str, resume: Optional[str], state: TrainState):
+def try_resume(ckpt_dir: str, resume: Optional[str], state: TrainState,
+               reset_ief_token_embedding: bool = False):
     """Resume params/batch_stats/opt_state + epoch from an orbax checkpoint
     (reference --resume_checkpoint, README.md:214-220). ``resume`` may be a
-    checkpoint name within ckpt_dir or an absolute checkpoint path."""
+    checkpoint name within ckpt_dir or an absolute checkpoint path.
+
+    ``reset_ief_token_embedding`` keeps the fresh init for the IEF head's
+    estimate-embedding parameters instead of the restored ones — the
+    reference's checkpoint-migration flag (base_config.py:522)."""
     import json as _json
 
     import orbax.checkpoint as ocp
@@ -415,6 +439,19 @@ def try_resume(ckpt_dir: str, resume: Optional[str], state: TrainState):
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(path)
+    if reset_ief_token_embedding:
+        fresh = state.params
+
+        def _merge(fresh_tree, restored_tree, path=""):
+            if not isinstance(restored_tree, dict):
+                keep_fresh = ("init_estimate" in path or "estimate_embed" in path
+                              or "estimate_norm" in path)
+                return fresh_tree if keep_fresh else restored_tree
+            return {k: _merge(fresh_tree.get(k), v, f"{path}/{k}")
+                    for k, v in restored_tree.items()}
+
+        restored["params"] = _merge(jax.device_get(fresh), restored["params"])
+        print("reset IEF token-embedding params to fresh init (migration)")
     state.params = restored["params"]
     state.batch_stats = restored.get("batch_stats", {})
     if restored.get("opt_state") is not None:

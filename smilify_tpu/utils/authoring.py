@@ -250,3 +250,153 @@ def build_model_from_registration(
         scaledirs=space.get("scaledirs"),
         transdirs=space.get("transdirs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# authoring extras: pose correctives, symmetrization, measurement exports
+# (reference 3D_model_prep/SMIL_processing_addon.py:643, 1452, 1841-2110)
+# ---------------------------------------------------------------------------
+
+
+def pose_corrective_offsets(posedirs: np.ndarray, joint_rotations_aa: np.ndarray) -> np.ndarray:
+    """Pose-dependent corrective vertex offsets for one pose.
+
+    The addon's apply_pose_correctives (:643): feature = vec(R_j − I) over all
+    non-root joints; offsets = posedirs · feature. Used to author/preview
+    posedirs outside Blender.
+
+    Args:
+      posedirs: (V, 3, (J−1)·9).
+      joint_rotations_aa: (J−1, 3) non-root axis-angle rotations.
+    Returns (V, 3) offsets.
+    """
+    from scipy.spatial.transform import Rotation
+
+    R = Rotation.from_rotvec(np.asarray(joint_rotations_aa, np.float64)).as_matrix()
+    feature = (R - np.eye(3)[None]).reshape(-1)
+    pd = np.asarray(posedirs)
+    if pd.ndim == 3:          # raw pkl/addon layout (V, 3, P)
+        mat = pd.reshape(-1, pd.shape[-1])   # (3V, P)
+    else:                     # ModelSpec layout (P, 3V)
+        mat = pd.T
+    V = mat.shape[0] // 3
+    return (mat @ feature).reshape(V, 3).astype(np.float32)
+
+
+def make_symmetrical(verts: np.ndarray, axis: str = "y",
+                     center_tolerance: float = 0.005) -> np.ndarray:
+    """Force a template mesh exactly symmetric about an axis plane (the
+    addon's make_symmetrical operator, :1452): near-plane vertices snap onto
+    the plane; mirrored pairs are averaged with their reflections.
+
+    Returns the symmetrized copy of ``verts``.
+    """
+    from smilify_tpu.core.symmetry import compute_symmetric_pairs
+
+    a = "xyz".index(axis)
+    out = np.asarray(verts, np.float64).copy()
+    on_plane = np.abs(out[:, a]) < center_tolerance
+    out[on_plane, a] = 0.0
+
+    pairs = compute_symmetric_pairs(out, axis=axis, tolerance=center_tolerance * 10)
+    done = set()
+    for i, j in pairs:
+        if i in done or j in done or i == j:
+            continue
+        mi, mj = out[i].copy(), out[j].copy()
+        mj_ref = mj.copy()
+        mj_ref[a] = -mj_ref[a]
+        mean = (mi + mj_ref) / 2.0
+        out[i] = mean
+        out[j] = mean
+        out[j, a] = -mean[a]
+        done.update((i, j))
+    return out.astype(verts.dtype if hasattr(verts, "dtype") else np.float32)
+
+
+def joint_distances(joint_positions: np.ndarray, joint_names) -> List[Tuple[str, str, float]]:
+    """All-pairs joint distances (addon get_joint_distances_from_positions,
+    :1855)."""
+    out = []
+    J = len(joint_names)
+    for i in range(J):
+        for j in range(i + 1, J):
+            out.append((str(joint_names[i]), str(joint_names[j]),
+                        float(np.linalg.norm(joint_positions[i] - joint_positions[j]))))
+    return out
+
+
+def mesh_surface_area(verts: np.ndarray, faces: np.ndarray) -> float:
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    return float(0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1).sum())
+
+
+def mesh_volume(verts: np.ndarray, faces: np.ndarray) -> float:
+    """Signed-tetrahedra volume (divergence theorem; |·| like the addon's
+    bmesh calc_volume, :2060)."""
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    return float(abs(np.einsum("ij,ij->i", v0, np.cross(v1, v2)).sum() / 6.0))
+
+
+def export_joint_distances_csv(spec, out_path: str, beta_range: float = 2.0) -> str:
+    """Per-shape-component joint-distance CSV (addon export_joint_distances,
+    :1868): rows = joint pairs, columns = neutral plus each beta at
+    ±beta_range std devs."""
+    import csv
+
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.lbs import smil_forward
+
+    B = spec.n_betas
+    configs = [("neutral", np.zeros(B))]
+    for b in range(B):
+        for sgn, tag in ((+1, "+"), (-1, "-")):
+            v = np.zeros(B)
+            v[b] = sgn * beta_range
+            configs.append((f"beta{b}{tag}{beta_range}", v))
+
+    theta = jnp.zeros((1, spec.n_joints, 3))
+    cols = {}
+    for name, betas in configs:
+        out = smil_forward(spec, jnp.asarray(betas, jnp.float32)[None], theta)
+        joints = np.asarray(out.joints[0])
+        cols[name] = {(a, b): d for a, b, d in joint_distances(joints, spec.joint_names)}
+
+    pairs = list(next(iter(cols.values())).keys())
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["joint_a", "joint_b"] + [n for n, _ in configs])
+        for pair in pairs:
+            w.writerow([pair[0], pair[1]] + [f"{cols[n][pair]:.6f}" for n, _ in configs])
+    return out_path
+
+
+def export_mesh_measurements_csv(spec, out_path: str, beta_range: float = 2.0) -> str:
+    """Surface-area / volume CSV across shape components (addon
+    export_mesh_measurements, :2080)."""
+    import csv
+
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.lbs import smil_forward
+
+    B = spec.n_betas
+    configs = [("neutral", np.zeros(B))]
+    for b in range(B):
+        for sgn, tag in ((+1, "+"), (-1, "-")):
+            v = np.zeros(B)
+            v[b] = sgn * beta_range
+            configs.append((f"beta{b}{tag}{beta_range}", v))
+
+    theta = jnp.zeros((1, spec.n_joints, 3))
+    faces = np.asarray(spec.faces)
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["config", "surface_area", "volume"])
+        for name, betas in configs:
+            out = smil_forward(spec, jnp.asarray(betas, jnp.float32)[None], theta)
+            v = np.asarray(out.verts[0])
+            w.writerow([name, f"{mesh_surface_area(v, faces):.6f}",
+                        f"{mesh_volume(v, faces):.6f}"])
+    return out_path

@@ -87,3 +87,114 @@ def pck(pred_yx, gt_yx, visibility, threshold_px: float) -> float:
     if not vis.any():
         return 0.0
     return float((err[vis] <= threshold_px).mean())
+
+
+# ---------------------------------------------------------------------------
+# fitter_3d plot suite (reference fitter_3d/utils.py:102-135) + sphere-scene
+# debug renderer (reference Unreal2Pytorch3D.py:1771-1874)
+# ---------------------------------------------------------------------------
+
+
+def plot_mesh(verts, faces, out_path: str, title: str = "", color="lightblue",
+              elev: float = 20.0, azim: float = -60.0):
+    """Matplotlib trisurf plot of a mesh (reference plot_mesh)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    v = np.asarray(verts)
+    f = np.asarray(faces)
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="3d")
+    ax.plot_trisurf(v[:, 0], v[:, 1], v[:, 2], triangles=f, color=color,
+                    edgecolor="none", alpha=0.9)
+    ax.view_init(elev=elev, azim=azim)
+    ax.set_title(title)
+    _equal_3d_axes(ax, v)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=80)
+    plt.close(fig)
+    return out_path
+
+
+def plot_pointclouds(clouds, out_path: str, labels=None, title: str = ""):
+    """Overlayed 3D scatter of point clouds (reference plot_pointcloud)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="3d")
+    allpts = []
+    for i, c in enumerate(clouds):
+        c = np.asarray(c)
+        allpts.append(c)
+        ax.scatter(c[:, 0], c[:, 1], c[:, 2], s=4,
+                   label=(labels[i] if labels else f"cloud {i}"))
+    ax.legend()
+    ax.set_title(title)
+    _equal_3d_axes(ax, np.concatenate(allpts))
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=80)
+    plt.close(fig)
+    return out_path
+
+
+def plot_mesh_heatmap(verts, faces, face_values, out_path: str, title: str = "",
+                      cmap: str = "viridis"):
+    """Per-face scalar heatmap on the mesh (reference thinness/error plots)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.cm as cm
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    v = np.asarray(verts)
+    f = np.asarray(faces)
+    vals = np.asarray(face_values, np.float64)
+    rng = vals.max() - vals.min()
+    norm = (vals - vals.min()) / (rng if rng > 0 else 1.0)
+    colors = cm.get_cmap(cmap)(norm)
+
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="3d")
+    ax.add_collection3d(Poly3DCollection(v[f], facecolors=colors, edgecolor="none"))
+    ax.set_title(title)
+    _equal_3d_axes(ax, v)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=80)
+    plt.close(fig)
+    return out_path
+
+
+def _equal_3d_axes(ax, pts):
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    c = (lo + hi) / 2
+    r = float((hi - lo).max() / 2) or 1.0
+    ax.set_xlim(c[0] - r, c[0] + r)
+    ax.set_ylim(c[1] - r, c[1] + r)
+    ax.set_zlim(c[2] - r, c[2] + r)
+
+
+def render_scene_debug(spec, camera, verts, keypoints_3d=None, image_size=(256, 256),
+                       sphere_px: int = 4):
+    """Sphere-scene debug render: Phong mesh + keypoint markers through the
+    SAME camera (reference scene renderer, Unreal2Pytorch3D.py:1771-1874 —
+    used to validate camera geometry against dataset keypoints).
+
+    Returns an (H, W, 3) float image."""
+    import jax.numpy as jnp
+
+    from smilify_tpu.render.phong import render_phong
+
+    H, W = image_size
+    pv = camera.world_to_view(jnp.asarray(verts))
+    ndc = jnp.concatenate([camera.view_to_ndc(pv)[:, :2], pv[:, 2:3]], axis=1)
+    img = np.asarray(render_phong(jnp.asarray(verts), pv, ndc, spec.faces, (H, W)))
+    if keypoints_3d is not None:
+        yx = np.asarray(camera.project_points_yx(jnp.asarray(keypoints_3d), (H, W)))
+        img = draw_joints(img, yx, np.ones(len(yx)), marker_size=sphere_px)
+    return img

@@ -141,3 +141,82 @@ def test_beta_calculator(stick_spec):
     achieved = measure(v0 + dirs @ betas, measurements)
     for k in targets:
         assert abs(achieved[k] - targets[k]) < 0.01, (k, achieved[k], targets[k])
+
+
+def test_pose_corrective_offsets_matches_lbs_blendshape(stick_spec):
+    """The authoring-side corrective evaluation must match the LBS forward's
+    pose-blendshape term (addon apply_pose_correctives, :643)."""
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.lbs import smil_forward
+    from smilify_tpu.utils.authoring import pose_corrective_offsets
+
+    spec = stick_spec
+    if spec.posedirs is None or np.asarray(spec.posedirs).size == 0:
+        import pytest
+
+        pytest.skip("model has no posedirs")
+    rng = np.random.RandomState(0)
+    jr = rng.randn(spec.n_joints - 1, 3) * 0.2
+    off = pose_corrective_offsets(np.asarray(spec.posedirs), jr)
+    assert off.shape == (spec.n_verts, 3)
+
+    theta = jnp.asarray(np.concatenate([np.zeros((1, 1, 3)), jr[None]], axis=1), jnp.float32)
+    betas = jnp.zeros((1, spec.n_betas))
+    posed = smil_forward(spec, betas, theta)
+    rest = smil_forward(spec, betas, jnp.zeros_like(theta))
+    # v_shaped differs exactly by the pose blendshape offsets
+    got = np.asarray(posed.v_shaped[0] - rest.v_shaped[0])
+    np.testing.assert_allclose(got, off, atol=2e-5)
+
+
+def test_make_symmetrical():
+    from smilify_tpu.utils.authoring import make_symmetrical
+
+    rng = np.random.RandomState(0)
+    right = rng.rand(20, 3) + [0, 0.2, 0]
+    left = right * [1, -1, 1] + rng.randn(20, 3) * 0.004  # slightly asymmetric
+    center = rng.rand(4, 3) * [1, 0.001, 1]
+    verts = np.concatenate([right, left, center])
+    out = make_symmetrical(verts, axis="y", center_tolerance=0.005)
+    # center vertices snapped to the plane
+    np.testing.assert_allclose(out[40:, 1], 0.0)
+    # mirrored copy equals itself → perfectly symmetric
+    mirrored = out * [1, -1, 1]
+    d = np.linalg.norm(out[:, None] - mirrored[None], axis=-1).min(axis=1)
+    assert d.max() < 1e-9
+
+
+def test_measurement_exports(tmp_path, stick_spec):
+    import csv
+
+    from smilify_tpu.utils.authoring import (
+        export_joint_distances_csv,
+        export_mesh_measurements_csv,
+        mesh_surface_area,
+        mesh_volume,
+    )
+
+    # unit cube sanity: area 6, volume 1
+    v = np.array([[0,0,0],[1,0,0],[1,1,0],[0,1,0],[0,0,1],[1,0,1],[1,1,1],[0,1,1]], float)
+    f = np.array([[0,2,1],[0,3,2],[4,5,6],[4,6,7],[0,1,5],[0,5,4],
+                  [1,2,6],[1,6,5],[2,3,7],[2,7,6],[3,0,4],[3,4,7]], np.int32)
+    assert abs(mesh_surface_area(v, f) - 6.0) < 1e-6
+    assert abs(mesh_volume(v, f) - 1.0) < 1e-6
+
+    jd = export_joint_distances_csv(stick_spec, str(tmp_path / "jd.csv"), beta_range=1.0)
+    with open(jd) as fh:
+        rows = list(csv.reader(fh))
+    J, B = stick_spec.n_joints, stick_spec.n_betas
+    assert len(rows) == 1 + J * (J - 1) // 2
+    assert len(rows[0]) == 2 + 1 + 2 * B
+    assert float(rows[1][2]) > 0
+
+    mm = export_mesh_measurements_csv(stick_spec, str(tmp_path / "mm.csv"), beta_range=1.0)
+    with open(mm) as fh:
+        rows = list(csv.reader(fh))
+    assert len(rows) == 1 + 1 + 2 * B
+    area0, vol0 = float(rows[1][1]), float(rows[1][2])
+    assert area0 > 0 and vol0 > 0
+    # beta variation changes the measurements
+    assert any(abs(float(r[1]) - area0) > 1e-6 for r in rows[2:])

@@ -107,3 +107,104 @@ def test_regressor_config_resolution(stick_spec):
     assert rc.max_views == 5
     assert rc.n_joints == stick_spec.n_joints
     assert rc.backbone == "resnet50"
+
+
+def test_wired_config_fields_change_behavior(tmp_path, stick_spec):
+    """Round-2 audit: formerly-dead config fields now have consumers."""
+    import jax.numpy as jnp
+
+    from smilify_tpu.train.config import load_config
+
+    # use_mixed_precision → compute dtype
+    cfg = load_config(None, overrides={"training.use_mixed_precision": False})
+    assert cfg.regressor_config(stick_spec).compute_dtype == jnp.float32
+    cfg = load_config(None, overrides={"training.use_mixed_precision": True})
+    assert cfg.regressor_config(stick_spec).compute_dtype == jnp.bfloat16
+
+    # transformer_dim_head/mlp_dim/trans_scale_factor → decoder config
+    cfg = load_config(None, overrides={
+        "model.transformer_heads": 4, "model.transformer_dim_head": 32,
+        "model.transformer_mlp_dim": 77, "model.transformer_trans_scale_factor": 0.5,
+    })
+    rc = cfg.regressor_config(stick_spec)
+    assert rc.decoder_dim == 128 and rc.decoder_mlp_dim == 77
+    assert rc.trans_scale_factor == 0.5
+
+    # mesh_scaling → output group + decode
+    cfg = load_config(None, overrides={"mesh_scaling.allow_mesh_scaling": True})
+    rc = cfg.regressor_config(stick_spec)
+    assert ("mesh_scale", 1) in rc.group_dims()
+
+    # optimizer_type → optax choice ('bogus' rejected)
+    import pytest as _pytest
+
+    from smilify_tpu.train.trainer import build_optimizer
+
+    cfg = load_config(None, overrides={"optimizer.optimizer_type": "adam"})
+    build_optimizer(cfg, 1e-4, False)
+    cfg = load_config(None, overrides={"optimizer.optimizer_type": "bogus"})
+    with _pytest.raises(ValueError):
+        build_optimizer(cfg, 1e-4, False)
+
+
+def test_shape_family_bakes_cluster_mean(tmp_path, stick_spec):
+    """shape_family >= 0 bakes the family cluster-mean betas into the
+    template (reference smal_torch.py:133-139)."""
+    import pickle
+
+    import numpy as np
+
+    from smilify_tpu.core.spec import load_model_spec
+    from tests.conftest import STICK_PKL
+
+    B = stick_spec.n_betas
+    cluster_means = np.zeros((3, B))
+    cluster_means[1, 0] = 2.0  # family 1 shifts along beta 0
+    data_file = tmp_path / "smal_data.pkl"
+    with open(data_file, "wb") as f:
+        pickle.dump({"cluster_means": cluster_means}, f)
+
+    base = load_model_spec(STICK_PKL, align_symmetry=False)
+    fam = load_model_spec(STICK_PKL, align_symmetry=False, shape_family=1,
+                          smal_data_file=str(data_file))
+    diff = np.abs(np.asarray(fam.v_template) - np.asarray(base.v_template)).max()
+    assert diff > 1e-4  # template moved
+    # family 0 (zero means) leaves the template unchanged
+    fam0 = load_model_spec(STICK_PKL, align_symmetry=False, shape_family=0,
+                           smal_data_file=str(data_file))
+    np.testing.assert_allclose(np.asarray(fam0.v_template), np.asarray(base.v_template),
+                               atol=1e-6)
+
+
+def test_mesh_scale_forward_and_decode(stick_spec):
+    """allow_mesh_scaling: decode produces mesh_scale and forward_model
+    re-anchors at the root and scales (reference smil_image_regressor.py:2677)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from smilify_tpu.models.regressor import RegressorConfig, decode_predictions, forward_model
+
+    spec = stick_spec
+    cfg = RegressorConfig(n_pose=spec.n_joints - 1, n_betas=spec.n_betas,
+                          n_joints=spec.n_joints, allow_mesh_scaling=True)
+    rot = 6
+    raw = {
+        "global_rot": jnp.tile(jnp.asarray([1., 0, 0, 0, 1., 0])[None], (1, 1)),
+        "joint_rot": jnp.tile(jnp.asarray([1., 0, 0, 0, 1., 0])[None, None], (1, cfg.n_pose, 1)).reshape(1, -1),
+        "betas": jnp.zeros((1, spec.n_betas)),
+        "trans": jnp.zeros((1, 3)),
+        "fov": jnp.full((1, 1), 60.0),
+        "cam_rot": jnp.asarray([[1., 0, 0, 0, 1., 0, 0, 0, 1.]]),
+        "cam_trans": jnp.zeros((1, 3)),
+        "mesh_scale": jnp.asarray([[np.log(2.0)]]),  # log-scale → ×2
+    }
+    preds = decode_predictions(cfg, raw, spec)
+    np.testing.assert_allclose(float(preds["mesh_scale"][0]), 2.0, rtol=1e-6)
+
+    v2, j2 = forward_model(spec, preds)
+    preds1 = dict(preds, mesh_scale=jnp.asarray([1.0]))
+    v1, j1 = forward_model(spec, preds1)
+    # pairwise distances double under mesh_scale 2 (rigid re-anchoring aside)
+    d1 = float(jnp.linalg.norm(j1[0, 1] - j1[0, 2]))
+    d2 = float(jnp.linalg.norm(j2[0, 1] - j2[0, 2]))
+    np.testing.assert_allclose(d2, 2 * d1, rtol=1e-4)

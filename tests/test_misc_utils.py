@@ -168,3 +168,35 @@ def test_rotation_aware_smoothing():
     aa_joints = np.tile(aa[:, None, :], (1, 4, 1))
     out_j = sm.smooth_rotations(aa_joints)
     assert out_j.shape == (3, 4, 3)
+
+
+def test_mesh_plot_suite_and_scene_debug(tmp_path, stick_spec):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.lbs import smil_forward
+    from smilify_tpu.render.cameras import default_camera
+    from smilify_tpu.utils.visualization import (
+        plot_mesh,
+        plot_mesh_heatmap,
+        plot_pointclouds,
+        render_scene_debug,
+    )
+
+    spec = stick_spec
+    out = smil_forward(spec, jnp.zeros((1, spec.n_betas)), jnp.zeros((1, spec.n_joints, 3)))
+    v = np.asarray(out.verts[0])
+    f = np.asarray(spec.faces)
+
+    import os
+    p1 = plot_mesh(v, f, str(tmp_path / "mesh.png"))
+    p2 = plot_pointclouds([v[::10], v[::7] + 0.01], str(tmp_path / "pc.png"), ["a", "b"])
+    p3 = plot_mesh_heatmap(v, f, np.random.RandomState(0).rand(len(f)),
+                           str(tmp_path / "heat.png"))
+    for p in (p1, p2, p3):
+        assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+    img = render_scene_debug(spec, default_camera(), out.verts[0],
+                             keypoints_3d=out.joints[0], image_size=(64, 64))
+    assert img.shape == (64, 64, 3)
+    assert img.min() >= 0 and img.max() <= 1.0 + 1e-6

@@ -123,3 +123,46 @@ def test_multiview_module_smoke(stick_spec):
     preds = decode_multiview_predictions(cfg, raw, spec)
     assert preds["view_cam_rot"].shape == (1, 3, 3, 3)
     assert preds["joint_rot"].shape == (1, cfg.n_pose, 3)
+
+
+def test_ignored_joints_change_keypoint_loss(stick_spec):
+    """ignored_joints must drop those joints from the 2D supervision: a huge
+    keypoint error on an ignored joint contributes nothing (reference
+    ignored_joints, dataset_preprocessing.py:108-137 + config consumption)."""
+    spec = stick_spec
+    cfg = MultiViewConfig(n_pose=spec.n_joints - 1, n_betas=spec.n_betas,
+                          n_joints=spec.n_joints, max_views=3)
+    preds = _mv_gt_predictions(spec)
+    H = W = 64
+    view_mask = jnp.ones((2, 3), dtype=bool)
+    verts, joints3d = forward_model(spec, preds)
+    kp2d = project_through_view_cameras(preds, joints3d, (H, W))
+    # corrupt joint 5's 2D target everywhere
+    kp2d_bad = kp2d.at[:, :, 5].add(10.0)
+    vis = jnp.ones(kp2d.shape[:3])
+    # zero visibility on joint 5 == what the trainers do for ignored_joints
+    vis_ignored = vis.at[:, :, 5].set(0.0)
+
+    targets = {
+        "global_rot": preds["global_rot"], "joint_rot": preds["joint_rot"],
+        "betas": preds["betas"], "trans": preds["trans"],
+        "view_fov": preds["view_fov"], "view_cam_rot": preds["view_cam_rot"],
+        "view_cam_trans": preds["view_cam_trans"],
+        "keypoints_2d": kp2d_bad, "kp_visibility": vis, "keypoints_3d": joints3d,
+    }
+    w = {"keypoint_2d": 1.0}
+    _, with_bad = compute_multiview_batch_loss(spec, cfg, preds, targets, view_mask, w, (H, W))
+    targets["kp_visibility"] = vis_ignored
+    _, ignored = compute_multiview_batch_loss(spec, cfg, preds, targets, view_mask, w, (H, W))
+    assert float(with_bad["keypoint_2d"]) > 1.0
+    assert float(ignored["keypoint_2d"]) < 1e-6
+
+    # the config resolver maps names → indices
+    from smilify_tpu.train.config import load_config, resolve_ignored_joint_indices
+
+    name = list(spec.joint_names)[5]
+    tcfg = load_config(None, overrides={
+        "ignored_joints.enabled": True,
+        "ignored_joints.ignored_joint_names": [name],
+    }, mode="multi_view")
+    assert resolve_ignored_joint_indices(tcfg, spec.joint_names) == [5]

@@ -103,3 +103,72 @@ def test_sleap_multiview_cli_end_to_end(tmp_path):
     uv = pc[:, :2] / pc[:, 2:3] * np.diag(s["camera_intrinsics"][0])[:2] + s["camera_intrinsics"][0][:2, 2]
     vis = s["keypoint_visibility"][0] > 0
     np.testing.assert_allclose(uv[vis], s["keypoints_2d"][0][vis], atol=0.5)
+
+
+@pytest.mark.slow
+def test_sleap_multiview_cli_joint_lookup_and_sync(tmp_path, stick_spec):
+    """Joint-lookup mapping into model order + frame sync on the union of
+    annotated frames with per-view dropout (reference :235, :859)."""
+    import subprocess
+    import sys
+
+    import cv2
+    import h5py
+
+    from smilify_tpu.data.sleap import save_calibration_toml
+    from tests.test_sleap_toolchain import _ring_cameras
+    from tests.conftest import STICK_PKL
+
+    cams = _ring_cameras(3, size=(96, 96), f=120.0)
+    sess = tmp_path / "session1"
+    os.makedirs(sess)
+    rng = np.random.RandomState(1)
+    F, K = 5, 3
+    nodes = ["na", "nb", "nc"]
+    pts3d = rng.randn(F, K, 3) * 0.15
+
+    for ci, cam in enumerate(cams):
+        pts2d = np.stack([cam.project(pts3d[f]) for f in range(F)])
+        tracks = np.transpose(pts2d, (2, 1, 0))[None].astype(np.float64)
+        scores = np.ones((1, K, F))
+        if ci == 2:
+            tracks[0, :, :, 3:] = np.nan  # cam3 has no data on frames 3,4
+        with h5py.File(sess / f"{cam.name}.h5", "w") as hf:
+            hf.create_dataset("tracks", data=tracks)
+            hf.create_dataset("node_names", data=[n.encode() for n in nodes])
+            hf.create_dataset("point_scores", data=scores)
+        vw = cv2.VideoWriter(str(sess / f"{cam.name}.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 10, (96, 96))
+        for f in range(F):
+            vw.write(np.full((96, 96, 3), 30 * f + 40, np.uint8))
+        vw.release()
+
+    # per-session calibration discovery (no --calibration flag)
+    save_calibration_toml(str(sess / "calibration.toml"), cams)
+    joints = list(stick_spec.joint_names)
+    lookup = tmp_path / "lookup.csv"
+    lookup.write_text(f"sleap,model\nna,{joints[2]}\nnb,{joints[4]}\nnc,{joints[6]}\n")
+
+    out_h5 = tmp_path / "mv.h5"
+    res = subprocess.run(
+        [sys.executable, "-u", "-m", "smilify_tpu.cli.preprocess_sleap_multiview",
+         "--sessions", str(sess), "--output", str(out_h5), "--resolution", "64",
+         "--model", STICK_PKL, "--joint-lookup", str(lookup)],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, (res.stdout[-1000:], res.stderr[-2000:])
+
+    from smilify_tpu.data.hdf5_dataset import MultiViewHDF5Dataset
+
+    ds = MultiViewHDF5Dataset(str(out_h5))
+    assert len(ds) == F
+    s0, s4 = ds[0], ds[4]
+    # keypoints live in model-joint slots: only joints 2/4/6 visible
+    J = stick_spec.n_joints
+    assert s0["keypoints_2d"].shape[1:] == (J, 2)
+    vis = s0["keypoint_visibility"][0]
+    assert vis[[2, 4, 6]].sum() == 3 and vis.sum() == 3
+    # frames 3,4: cam3 dropped via view_mask, others intact
+    assert s0["view_mask"].sum() == 3
+    assert s4["view_mask"].sum() == 2

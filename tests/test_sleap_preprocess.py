@@ -163,3 +163,35 @@ def test_discover_sessions_flat_and_nested(tmp_path, stick_spec):
     # the session dir itself also works (single-session mode)
     got = discover_sessions(str(sessions_dir / "sessionA"))
     assert len(got) == 1
+
+
+def test_video_frame_dataset_modes(tmp_path, stick_spec):
+    """Raw-video inference input: default/centred/bbox_crop crop modes
+    (reference run_singleview_inference.py)."""
+    from smilify_tpu.data.sleap_raw import read_joint_lookup_csv
+    from smilify_tpu.data.video import VideoFrameDataset
+
+    sessions_dir, lookup = _make_session(tmp_path, stick_spec, two_cams=False)
+    video = str(sessions_dir / "sessionA" / "cam1.avi")
+    preds = str(sessions_dir / "sessionA" / "cam1.analysis.h5")
+
+    ds = VideoFrameDataset(video, resolution=32, crop_mode="default")
+    assert len(ds) == N_FRAMES
+    s = ds[0]
+    assert s["image"].shape == (32, 32, 3) and s["image"].dtype == np.float32
+
+    ds_bbox = VideoFrameDataset(
+        video, resolution=32, crop_mode="bbox_crop", sleap_predictions=preds,
+        joint_names=list(stick_spec.joint_names),
+        joint_lookup=read_joint_lookup_csv(lookup),
+    )
+    s = ds_bbox[1]
+    # mapped joints visible inside the bbox crop
+    assert s["keypoint_visibility"][1:4].sum() == 3
+    assert s["keypoint_visibility"].sum() == 3
+
+    # bbox_crop without predictions is an error
+    with pytest.raises(ValueError):
+        VideoFrameDataset(video, crop_mode="bbox_crop")
+
+    ds.close(); ds_bbox.close()

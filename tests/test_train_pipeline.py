@@ -74,9 +74,9 @@ def test_optimize_to_joints_cli(tmp_path):
         "--model", STICK_PKL,
         "--sequence", "replicAnt:SMIL_09_synth.jpg",
         "--data-root", "/root/reference/data/replicAnt_trials/SMIL_COCO",
-        "--crop-size", "128",
+        "--crop-size", "96",
         "--output-dir", str(tmp_path / "fit"),
-        "--test", "--vis-frequency", "9",
+        "--test", "--test-stages", "2", "--vis-frequency", "9",
     ], timeout=3600)
     assert res.returncode == 0, (res.stdout[-1500:], res.stderr[-2500:])
     # exports: collage png + params pkl + mesh ply for the final stage

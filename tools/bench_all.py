@@ -143,9 +143,38 @@ def bench_fitter_step(spec, n_frames=1):
         params, opt_state, loss = step(params, opt_state)
     loss.block_until_ready()
     dt = (time.perf_counter() - t0) / n
+
+    # roofline estimate: count the raster's useful work at the converged pose
+    # (active 8-face×1024-pixel subgroups from the cull mask; ~60 flops per
+    # point-triangle test fwd, ~100 bwd) → achieved GFLOP/s of the whole step.
+    # The raster rides the VPU (element-wise math, no MXU), so the step's
+    # ceiling is VPU-bound — useful to compare across kernel revisions.
+    from smilify_tpu.fitter.fitter import forward_losses as _fl  # noqa: F401
+    from smilify_tpu.render import rasterizer as R
+
+    theta = jnp.concatenate([params.global_rot[:, None, :], params.joint_rot], axis=1)
+    from smilify_tpu.core.lbs import smil_forward
+    from smilify_tpu.render.cameras import default_camera
+
+    out = smil_forward(spec, jnp.broadcast_to(params.betas, (N, spec.n_betas)), theta)
+    cam = default_camera()
+    verts_w = out.verts + params.trans[:, None, :]
+    pv = jax.vmap(cam.world_to_view)(verts_w)
+    ndc = jax.vmap(cam.view_to_ndc)(pv)
+    vb = jnp.concatenate([ndc[..., :2], pv[..., 2:3]], axis=-1)
+    tri = vb[:, spec.faces]
+    valid = jnp.any(tri[..., 2] > 0.0, axis=-1)
+    mask = np.asarray(R._tile_cull_mask(tri[..., :2], valid, H, W, 1e-4))
+    active_groups = sum(bin(int(x)).count("1") for x in mask)
+    tests = active_groups * R.FACE_GROUP * R.TILE_PIX
+    flops = tests * 160  # fwd + bwd point-triangle work
     return {"step_ms": dt * 1000, "iters_per_sec": 1 / dt,
             "frame_iters_per_sec": n_frames / dt, "frames": n_frames,
-            "image": "512x512", "faces": int(spec.n_faces)}
+            "image": "512x512", "faces": int(spec.n_faces),
+            "raster_point_triangle_tests": int(tests),
+            "raster_achieved_gflops": round(flops / dt / 1e9, 1),
+            "roofline_note": "raster is VPU-bound elementwise work; "
+                             "saturation early-out skips part of these tests"}
 
 
 def bench_singleview_inference(spec):
