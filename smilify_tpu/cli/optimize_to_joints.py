@@ -29,6 +29,9 @@ def main(argv=None):
                     help="dataset:name — replicAnt:<img>, badja:<seq>, stanfordextra:<img>")
     ap.add_argument("--data-root", default="data/replicAnt_trials/SMIL_COCO")
     ap.add_argument("--crop-size", type=int, default=512)
+    ap.add_argument("--use-crop", action="store_true",
+                    help="crop around the silhouette to --crop-size (reference "
+                         "crop_to_silhouette; replicAnt frames are otherwise native size)")
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--vis-frequency", type=int, default=50)
     ap.add_argument("--image-range", type=int, nargs=2, default=None, metavar=("LO", "HI"))
@@ -69,6 +72,7 @@ def main(argv=None):
             args.data_root, name, args.crop_size,
             joint_names=spec.joint_names,
             ignore_joints=[spec.joint_names[i] for i in spec.ignore_joints],
+            use_crop=args.use_crop,
         )
     elif dataset == "badja":
         rng = range(*args.image_range) if args.image_range else None

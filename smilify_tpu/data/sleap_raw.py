@@ -41,12 +41,13 @@ def read_sleap_analysis_h5(path: str, track: int = 0):
     return points, s.astype(np.float32), node_names
 
 
-def read_slp(path: str):
+def read_slp(path: str, instance: int = 0):
     """Native .slp (best effort) → (points (F, K, 2), scores (F, K), node_names).
 
     Reads the HDF5 tables SLEAP stores: frames, instances, pred_points, and
-    the node names from the JSON metadata attribute. One instance per frame
-    (the first) is returned, matching the reference's single-subject sessions.
+    the node names from the JSON metadata attribute. ``instance`` selects the
+    n-th instance within each frame (0 = first, matching the reference's
+    single-subject sessions; multi-animal sessions pick others).
     """
     import h5py
     import json
@@ -72,10 +73,13 @@ def read_slp(path: str):
     scores = np.zeros((F, K), np.float32)
 
     inst_by_frame = {}
+    seen_count: dict = {}
     for inst in instances:
         fid = int(inst["frame_id"])
-        if fid not in inst_by_frame:
+        k = seen_count.get(fid, 0)
+        if k == instance:
             inst_by_frame[fid] = inst
+        seen_count[fid] = k + 1
 
     for i, fr in enumerate(frames):
         inst = inst_by_frame.get(int(fr["frame_id"]))
@@ -93,11 +97,14 @@ def read_slp(path: str):
     return points, scores, node_names
 
 
-def read_sleap_predictions(path: str):
-    """Dispatch on extension (.h5 analysis export vs native .slp)."""
+def read_sleap_predictions(path: str, track: int = 0):
+    """Dispatch on extension (.h5 analysis export vs native .slp).
+
+    ``track`` selects the track (analysis export) / per-frame instance (.slp)
+    for multi-animal sessions."""
     if path.endswith(".slp"):
-        return read_slp(path)
-    return read_sleap_analysis_h5(path)
+        return read_slp(path, instance=track)
+    return read_sleap_analysis_h5(path, track=track)
 
 
 def find_session_layout(session_dir: str) -> dict:

@@ -107,6 +107,14 @@ def render_frame(
     return sil, proj_yx
 
 
+
+def _active(w) -> bool:
+    """Loss-term activity check that works for python floats AND traced
+    scalars: a traced weight means the term is active with a dynamic value
+    (the single-compile stage machinery passes inactive terms as python 0.0,
+    active terms as tracers)."""
+    return not (isinstance(w, (int, float)) and w == 0)
+
 def forward_losses(
     spec: ModelSpec,
     params: FitParams,
@@ -139,7 +147,7 @@ def forward_losses(
     if canonical_joints is not None:
         joints3d = joints3d[:, canonical_joints]
 
-    render_sil = weights.w_reproj > 0 and data.sil is not None
+    render_sil = _active(weights.w_reproj) and data.sil is not None
 
     def project_one(fov, v, j):
         """Per-frame camera math (cheap); silhouettes rasterize batched below."""
@@ -164,25 +172,25 @@ def forward_losses(
     ).astype(jnp.float32)
 
     objs = {}
-    if weights.w_j2d > 0:
+    if _active(weights.w_j2d):
         # reference sets both sides to −1 where invisible → zero contribution,
         # but the mean divides by the full element count (fitter.py:292-296)
         diff = (joints_r - data.joints) * vis[..., None]
         objs["joint"] = weights.w_j2d * jnp.sum(diff**2) / (diff.size)
 
-    if weights.w_limit > 0:
+    if _active(weights.w_limit):
         objs["limit"] = weights.w_limit * limit_prior(params.joint_rot)
 
-    if weights.w_pose > 0:
+    if _active(weights.w_pose):
         objs["pose"] = weights.w_pose * jnp.mean(pose_prior(theta))
 
-    if weights.w_splay > 0:
+    if _active(weights.w_splay):
         objs["splay"] = weights.w_splay * jnp.sum(params.joint_rot[:, :, (0, 2)] ** 2)
 
-    if weights.w_betas > 0:
+    if _active(weights.w_betas):
         objs["betas"] = weights.w_betas * shape_prior(betas)
 
-    if weights.w_reproj > 0 and data.sil is not None:
+    if _active(weights.w_reproj) and data.sil is not None:
         objs["sil_reproj"] = weights.w_reproj * jnp.mean(jnp.abs(sil_r - data.sil))
 
     total = functools.reduce(lambda a, b: a + b, objs.values())
@@ -249,57 +257,80 @@ class SmalFitter:
 
     # --- one jitted step per (stage weights, freeze mask) ---
 
-    def _make_step(self, weights: StageWeights, freeze: dict):
-        labels = FitParams(
-            global_rot="main", joint_rot="main", betas="main", trans="main",
-            fov="fov", log_beta_scales="main", joint_trans="main",
-        )
-        tx = optax.multi_transform(
-            {
-                "main": optax.adam(weights.lr, b1=0.5, b2=0.999),
-                "fov": optax.adam(1.0, b1=0.5, b2=0.999),
-            },
-            labels,
-        )
-        frozen_mask = FitParams(
-            global_rot=freeze.get("global_rot", False),
-            joint_rot=freeze.get("joint_rot", False),
-            betas=freeze.get("betas", False),
-            trans=freeze.get("trans", False),
-            fov=freeze.get("fov", False),
-            log_beta_scales=freeze.get("log_beta_scales", False),
-            joint_trans=freeze.get("joint_trans", True),
-        )
-        vis_override = self._torso_visibility if freeze.get("torso_only", False) else None
+    # loss terms whose values become traced step inputs (lr too) — every
+    # stage with the same ACTIVITY pattern shares ONE compiled step, so the
+    # full 4-stage schedule compiles twice (stage 0: no raster; stages 1-3:
+    # full loss) instead of four times
+    _WEIGHT_FIELDS = ("w_j2d", "w_reproj", "w_betas", "w_pose", "w_limit", "w_splay", "w_temp")
 
-        def loss_fn(params):
-            total, objs = forward_losses(
-                self.spec, params, self.data, weights,
-                self.pose_prior, self.limit_prior, self.shape_prior,
-                self.image_size,
-                visibility_override=vis_override,
-                canonical_joints=self.canonical_joints,
-                allow_limb_scaling=self.allow_limb_scaling,
-                use_pallas=self.use_pallas, interpret=self.interpret,
-            )
-            tj, tg, tt = temporal_losses(params, weights.w_temp)
-            objs = dict(objs, temporal_joint=tj, temporal_global=tg, temporal_trans=tt)
-            return total + tj + tg + tt, objs
+    def _get_step(self, structure: tuple):
+        """One compiled step per loss-activity pattern; weights/lr/freeze/
+        visibility are traced inputs (reference rebuilds an Adam per stage,
+        optimize_to_joints.py:117-127 — adam moments re-init per stage here
+        too via tx.init in run_stage)."""
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        if structure in cache:
+            return cache[structure]
+
+        tx = optax.scale_by_adam(b1=0.5, b2=0.999)
+        fields = self._WEIGHT_FIELDS
 
         @jax.jit
-        def step(params, opt_state):
+        def step(params, opt_state, w_vals, lr, freeze_mask, visibility):
+            kw, i = {}, 0
+            for f, on in zip(fields, structure):
+                if on:
+                    kw[f] = w_vals[i]
+                    i += 1
+                else:
+                    kw[f] = 0.0
+            weights = StageWeights(num_iters=0, lr=0.0, **kw)
+
+            def loss_fn(p):
+                total, objs = forward_losses(
+                    self.spec, p, self.data, weights,
+                    self.pose_prior, self.limit_prior, self.shape_prior,
+                    self.image_size,
+                    visibility_override=visibility,
+                    canonical_joints=self.canonical_joints,
+                    allow_limb_scaling=self.allow_limb_scaling,
+                    use_pallas=self.use_pallas, interpret=self.interpret,
+                )
+                tj, tg, tt = temporal_losses(p, weights.w_temp)
+                objs = dict(objs, temporal_joint=tj, temporal_global=tg, temporal_trans=tt)
+                return total + tj + tg + tt, objs
+
             (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            grads = jax.tree.map(
-                lambda g, frozen: jnp.zeros_like(g) if frozen else g,
-                grads,
-                frozen_mask,
-                is_leaf=lambda x: isinstance(x, bool),
-            )
+            grads = jax.tree.map(lambda g, m: g * m, grads, freeze_mask)
             updates, opt_state = tx.update(grads, opt_state, params)
+            # descent with the stage lr; fov keeps its dedicated lr=1 group
+            # (reference optimize_to_joints.py:117-127)
+            updates = FitParams(
+                global_rot=updates.global_rot * (-lr),
+                joint_rot=updates.joint_rot * (-lr),
+                betas=updates.betas * (-lr),
+                trans=updates.trans * (-lr),
+                fov=updates.fov * (-1.0),
+                log_beta_scales=updates.log_beta_scales * (-lr),
+                joint_trans=updates.joint_trans * (-lr),
+            )
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, objs
 
+        cache[structure] = (tx, step)
         return tx, step
+
+    def _freeze_mask(self, freeze: dict) -> FitParams:
+        def m(name, default=False):
+            return jnp.asarray(0.0 if freeze.get(name, default) else 1.0, jnp.float32)
+
+        return FitParams(
+            global_rot=m("global_rot"), joint_rot=m("joint_rot"), betas=m("betas"),
+            trans=m("trans"), fov=m("fov"), log_beta_scales=m("log_beta_scales"),
+            joint_trans=m("joint_trans", True),
+        )
 
     def run_stage(self, stage_id: int, weights: StageWeights, callback=None):
         freeze = {}
@@ -312,11 +343,25 @@ class SmalFitter:
             }
         elif not self.allow_limb_scaling:
             freeze = {"log_beta_scales": True}
-        tx, step = self._make_step(weights, freeze)
+
+        structure = tuple(getattr(weights, f) > 0 for f in self._WEIGHT_FIELDS)
+        tx, step = self._get_step(structure)
+        w_vals = jnp.asarray(
+            [getattr(weights, f) for f, on in zip(self._WEIGHT_FIELDS, structure) if on],
+            jnp.float32,
+        )
+        lr = jnp.asarray(weights.lr, jnp.float32)
+        freeze_mask = self._freeze_mask(freeze)
+        visibility = (
+            self._torso_visibility if freeze.get("torso_only", False) else self.data.visibility
+        )
+
         opt_state = tx.init(self.params)
         loss = None
         for it in range(weights.num_iters):
-            self.params, opt_state, loss, objs = step(self.params, opt_state)
+            self.params, opt_state, loss, objs = step(
+                self.params, opt_state, w_vals, lr, freeze_mask, visibility
+            )
             if callback is not None:
                 callback(stage_id, it, loss, objs)
         return loss

@@ -209,6 +209,9 @@ BACKBONES: dict = {
     "vit_large_patch16_224": lambda dtype=jnp.bfloat16: (ViT(24, 1024, 16, dtype=dtype), 1024),
     "unet_resnet34": lambda dtype=jnp.bfloat16: (UNet(out_dim=512, dtype=dtype), 1024),
     "unet_small": lambda dtype=jnp.bfloat16: (UNet(widths=(32, 64, 128, 256), out_dim=256, dtype=dtype), 256),
+    # micro variant for CI / SPMD-invariance tests: same architecture shape,
+    # minimal channel counts so CPU XLA compiles in seconds
+    "unet_micro": lambda dtype=jnp.bfloat16: (UNet(widths=(8, 16, 32), out_dim=32, dtype=dtype), 32),
 }
 
 

@@ -25,6 +25,60 @@ import numpy as np
 _MODEL = "/root/reference/3D_model_prep/SMILy_STICK.pkl"
 
 
+def toy_model_spec(V_side: int = 8, J: int = 6, B: int = 3, seed: int = 0):
+    """A tiny but fully-valid ModelSpec (sphere mesh + joint chain) for SPMD
+    invariance tests — the invariants don't depend on the real 3020-vertex
+    model, and the small graph cuts the CPU XLA compile from minutes to
+    seconds. The driver dryrun keeps the real model."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.spec import ModelSpec
+
+    rng = np.random.RandomState(seed)
+    n = V_side
+    u, w = np.meshgrid(np.linspace(0.15, np.pi - 0.15, n), np.linspace(0, 2 * np.pi, n))
+    verts = 0.3 * np.stack(
+        [np.sin(u) * np.cos(w), np.sin(u) * np.sin(w), np.cos(u)], -1
+    ).reshape(-1, 3).astype(np.float64)
+    verts[:, 0] *= 2.0  # elongate along the chain axis
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a, b, c, d = i * n + j, i * n + j + 1, (i + 1) * n + j, (i + 1) * n + j + 1
+            faces += [[a, b, c], [b, d, c]]
+    faces = np.asarray(faces, np.int32)
+    V = len(verts)
+
+    joints = np.zeros((J, 3))
+    joints[:, 0] = np.linspace(-0.5, 0.5, J)
+    parents = np.asarray([0] + list(range(J - 1)), np.int32)
+
+    d = np.linalg.norm(verts[:, None] - joints[None], axis=-1)  # (V, J)
+    wts = np.exp(-8.0 * d)
+    wts = wts / wts.sum(axis=1, keepdims=True)
+    Jr = wts / wts.sum(axis=0, keepdims=True)                   # columns sum to 1
+
+    shapedirs = (rng.randn(B, 3 * V) * 0.02).astype(np.float64)
+    posedirs = np.zeros((9 * (J - 1), 3 * V))
+    names = tuple(f"j{i}" for i in range(J))
+    f32 = jnp.float32
+    return ModelSpec(
+        v_template=jnp.asarray(verts, f32), faces=jnp.asarray(faces),
+        shapedirs=jnp.asarray(shapedirs, f32), posedirs=jnp.asarray(posedirs, f32),
+        J_regressor=jnp.asarray(Jr, f32), weights=jnp.asarray(wts, f32),
+        parents=jnp.asarray(parents), joints_rest=jnp.asarray(joints, f32),
+        shape_mean_betas=jnp.zeros((B,), f32), shape_cov=jnp.eye(B, dtype=f32),
+        scaledirs=None, transdirs=None, joint_names=names,
+        n_verts=V, n_faces=len(faces), n_joints=J, n_betas=B,
+        static_joint_locations=False, has_shape_prior=True,
+        legacy_dog_keypoints=False, root_joint=names[0],
+        torso_joints=(0, 1), ignore_joints=(),
+        left_inds=(), right_inds=(), center_inds=(),
+        source_path="<toy>",
+    )
+
+
 def tiny_multiview_config(spec, n_views: int = 2):
     """A CPU-runnable MultiViewConfig: unet_small backbone, small decoder,
     f32 compute for exact cross-mesh comparison."""
@@ -33,7 +87,7 @@ def tiny_multiview_config(spec, n_views: int = 2):
     from smilify_tpu.models.multiview import MultiViewConfig
 
     return MultiViewConfig(
-        backbone="unet_small",
+        backbone="unet_micro",
         head_type="transformer",
         rotation_representation="6d",
         n_pose=spec.n_joints - 1,
@@ -41,7 +95,7 @@ def tiny_multiview_config(spec, n_views: int = 2):
         n_joints=spec.n_joints,
         scale_trans_mode="ignore",
         ief_iters=1,
-        decoder_dim=64,
+        decoder_dim=32,
         decoder_depth=1,
         decoder_heads=2,
         mlp_hidden=64,
@@ -118,18 +172,22 @@ def _build_setup(spec, n_views: int, res: int, accum_steps: int,
 
 def run_trainer_check(n_devices: int, batch_size: Optional[int] = None,
                       accum_steps: int = 2, compare_single: bool = True,
-                      res: int = 32, n_views: int = 2, verbose: bool = True):
+                      res: int = 32, n_views: int = 2, verbose: bool = True,
+                      spec=None):
     """One sharded train step + eval step on an n-device mesh.
 
     With ``compare_single``, reruns both on a 1-device mesh and asserts the
     losses (and a parameter-update norm) agree — the SPMD invariant.
+    ``spec`` overrides the model (tests pass :func:`toy_model_spec` to keep
+    CPU compiles fast; the driver dryrun uses the real flagship model).
     Returns a dict of scalars for the caller to record."""
     import jax
 
     from smilify_tpu.core.spec import load_model_spec
     from smilify_tpu.train.trainer import data_mesh, replicate, shard_batch
 
-    spec = load_model_spec(_MODEL, align_symmetry=False)
+    if spec is None:
+        spec = load_model_spec(_MODEL, align_symmetry=False)
     if batch_size is None:
         batch_size = n_devices * max(1, accum_steps)
     assert batch_size % (n_devices * accum_steps) == 0

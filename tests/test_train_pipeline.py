@@ -74,7 +74,7 @@ def test_optimize_to_joints_cli(tmp_path):
         "--model", STICK_PKL,
         "--sequence", "replicAnt:SMIL_09_synth.jpg",
         "--data-root", "/root/reference/data/replicAnt_trials/SMIL_COCO",
-        "--crop-size", "96",
+        "--crop-size", "96", "--use-crop",
         "--output-dir", str(tmp_path / "fit"),
         "--test", "--test-stages", "2", "--vis-frequency", "9",
     ], timeout=3600)
