@@ -81,20 +81,12 @@ def read_shape_betas_csv(path: str) -> Dict[str, np.ndarray]:
 
 def _camera_params_renderer(cal, image_size):
     """OpenCV calibration → stored GT camera params (fov scalar, flattened
-    row-convention R (9,), t (3,)) via the shared conversion."""
-    import jax.numpy as jnp
+    row-convention R (9,), t (3,)) — numpy twin of the renderer conversion
+    (no jax init inside preprocessing worker processes)."""
+    from smilify_tpu.data.canonical_frame import camera_from_opencv_np
 
-    from smilify_tpu.render.cameras import camera_from_opencv
-
-    cam = camera_from_opencv(
-        jnp.asarray(cal.R, jnp.float32), jnp.asarray(cal.translation, jnp.float32),
-        jnp.asarray(cal.matrix, jnp.float32), image_size,
-    )
-    return (
-        np.float32(cam.fov),
-        np.asarray(cam.R, np.float32).reshape(-1),
-        np.asarray(cam.T, np.float32),
-    )
+    Rr, T, fov, _aspect = camera_from_opencv_np(cal.R, cal.translation, cal.matrix, image_size)
+    return np.float32(fov), np.asarray(Rr, np.float32).reshape(-1), np.asarray(T, np.float32)
 
 
 def process_session(job) -> Dict:

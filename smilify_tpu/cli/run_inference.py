@@ -189,27 +189,58 @@ def main(argv=None):
 
         os.makedirs(args.render_dir or "/tmp/render", exist_ok=True)
         render_dir = args.render_dir or "/tmp/render"
-        frames = []
+        import imageio.v2 as imageio
+
         preds_j = {k: jnp.asarray(v) for k, v in traj.items()}
         verts, joints3d = forward_model(spec, preds_j)
-        for i in range(n):
-            cam = default_camera().replace(
-                R=preds_j.get("cam_rot", preds_j.get("view_cam_rot"))[i]
-                if not is_mv else preds_j["view_cam_rot"][i, 0],
-                T=preds_j.get("cam_trans", preds_j.get("view_cam_trans"))[i]
-                if not is_mv else preds_j["view_cam_trans"][i, 0],
-                fov=preds_j["fov"][i] if not is_mv else preds_j["view_fov"][i, 0],
-            )
+
+        def render_view(i, R, T, fov):
+            cam = default_camera().replace(R=R, T=T, fov=fov)
             pts_view = cam.world_to_view(verts[i])
             ndc = cam.view_to_ndc(pts_view)
             verts_ndc = jnp.concatenate([ndc[:, :2], pts_view[:, 2:3]], axis=1)
             img = np.asarray(render_phong(verts[i], pts_view, verts_ndc, spec.faces, (res, res)))
             kp = np.asarray(cam.project_points_yx(joints3d[i], (res, res)))
-            img = draw_joints(img, kp)
-            frames.append((img * 255).astype(np.uint8))
-            import imageio.v2 as imageio
+            return draw_joints(img, kp)
 
-            imageio.imwrite(os.path.join(render_dir, f"frame_{i:05d}.png"), frames[-1])
+        frames = []
+        if is_mv:
+            # per-view videos + a multi-view grid video
+            # (reference run_multiview_inference.py:833-914 output contract)
+            V = preds_j["view_fov"].shape[1]
+            per_view_frames = [[] for _ in range(V)]
+            for i in range(n):
+                row = []
+                for v in range(V):
+                    img = render_view(i, preds_j["view_cam_rot"][i, v],
+                                      preds_j["view_cam_trans"][i, v],
+                                      preds_j["view_fov"][i, v])
+                    u8 = (img * 255).astype(np.uint8)
+                    per_view_frames[v].append(u8)
+                    row.append(u8)
+                # grid: views tiled in rows of ≤4
+                cols = min(4, V)
+                rows_n = -(-V // cols)
+                pad = rows_n * cols - V
+                row += [np.zeros_like(row[0])] * pad
+                grid = np.concatenate(
+                    [np.concatenate(row[r * cols:(r + 1) * cols], axis=1)
+                     for r in range(rows_n)], axis=0)
+                frames.append(grid)
+                imageio.imwrite(os.path.join(render_dir, f"frame_{i:05d}.png"), grid)
+            if args.video:
+                from smilify_tpu.utils.export import write_video
+
+                base, ext = os.path.splitext(args.video)
+                for v in range(V):
+                    write_video(f"{base}_view{v}{ext}", per_view_frames[v], fps=15)
+                print(f"per-view videos → {base}_view*.{ext.lstrip('.')}")
+        else:
+            for i in range(n):
+                img = render_view(i, preds_j["cam_rot"][i], preds_j["cam_trans"][i],
+                                  preds_j["fov"][i])
+                frames.append((img * 255).astype(np.uint8))
+                imageio.imwrite(os.path.join(render_dir, f"frame_{i:05d}.png"), frames[-1])
         if args.video:
             from smilify_tpu.utils.export import write_video
 

@@ -46,6 +46,12 @@ def build_dataset(cfg, spec):
     if kind == "replicant_raw":
         return ReplicantDataset(path, spec.joint_names, image_size=res), kind
     if kind.endswith("multiview") or kind == "sleap_multiview":
+        if cfg.mode == "multi_view":
+            return MultiViewHDF5Dataset(
+                path,
+                num_views_to_use=cfg.multiview.num_views_to_use,
+                seed=cfg.training.seed,
+            ), kind
         # single-view-from-multiview training: one view per item, optionally
         # every view (expand_all_views) and camera-anchored GT (camera_centric)
         # — reference sleap_multiview_dataset.py:48,67-72,298
@@ -197,6 +203,13 @@ def main(argv=None):
         # the shared leading components only
         if "betas" in targets and targets["betas"].shape[-1] != spec.n_betas:
             targets["betas"] = targets["betas"][..., : spec.n_betas]
+        # HDF5 single-view datasets store cam_rot flattened (9,); the loss
+        # compares against the predicted (3, 3) matrix
+        if "cam_rot" in targets and targets["cam_rot"].shape[-1] == 9:
+            targets["cam_rot"] = targets["cam_rot"].reshape(
+                targets["cam_rot"].shape[:-1] + (3, 3))
+        if "fov" in targets and targets["fov"].ndim > 1:
+            targets["fov"] = targets["fov"][..., 0]
         if "keypoints_2d" in batch:
             targets["keypoints_2d"] = batch["keypoints_2d"]
             vis = batch.get("keypoint_visibility")

@@ -49,6 +49,23 @@ def canonicalize_sample(
 RZ_180 = np.diag([-1.0, -1.0, 1.0])
 
 
+def camera_from_opencv_np(R_cv: np.ndarray, t_cv: np.ndarray, K_cv: np.ndarray,
+                          image_size) -> Tuple[np.ndarray, np.ndarray, float, float]:
+    """Numpy twin of :func:`smilify_tpu.render.cameras.camera_from_opencv`
+    for host-side dataset code (no jax dispatch inside DataLoader threads).
+
+    Returns (R_row (3,3), T (3,), fov_deg, aspect); parity with the jnp
+    version is pinned by tests/test_cameras.py."""
+    H, W = image_size
+    Rz180 = RZ_180
+    R_p3d = Rz180 @ np.asarray(R_cv, np.float64)
+    t_p3d = Rz180 @ np.asarray(t_cv, np.float64)
+    fx, fy = float(K_cv[0, 0]), float(K_cv[1, 1])
+    fov = 2.0 * np.degrees(np.arctan2(H / 2.0, fy))
+    aspect = (fy / fx) * (W / H)
+    return R_p3d.T, t_p3d, float(fov), float(aspect)
+
+
 def rotate_axis_angle_left(aa: np.ndarray, M: np.ndarray) -> np.ndarray:
     """Compose a rotation matrix on the left of an axis-angle: aa(M @ R(aa))."""
     import cv2

@@ -296,14 +296,13 @@ class MultiViewHDF5Dataset:
     def _get_single_view(self, idx: int) -> Dict[str, np.ndarray]:
         """One (sample, view) pair as a single-view training sample
         (reference return_single_view / camera_centric modes,
-        sleap_multiview_dataset.py:48,67-72,298)."""
-        import jax.numpy as jnp
-
+        sleap_multiview_dataset.py:48,67-72,298). Pure numpy — no jax
+        dispatch inside loader threads."""
         from smilify_tpu.data.canonical_frame import (
+            camera_from_opencv_np,
             recanonicalize_single_view,
             rotate_axis_angle_left,
         )
-        from smilify_tpu.render.cameras import camera_from_opencv
 
         f = self.file
         if self.expand_all_views:
@@ -350,14 +349,14 @@ class MultiViewHDF5Dataset:
             sample["global_rot"] = g_rot.astype(np.float32)
             sample["trans"] = trans.astype(np.float32)
 
-        cam = camera_from_opencv(
-            jnp.asarray(R_cv, jnp.float32), jnp.asarray(t_cv, jnp.float32),
-            jnp.asarray(K, jnp.float32), (int(size[1]), int(size[0]))
-            if size[0] and size[1] else (img.shape[0], img.shape[1]),
+        Rr, T, fov, _aspect = camera_from_opencv_np(
+            R_cv, t_cv, K,
+            (int(size[1]), int(size[0])) if size[0] and size[1]
+            else (img.shape[0], img.shape[1]),
         )
-        sample["fov"] = np.asarray([float(cam.fov)], np.float32)
-        sample["cam_rot"] = np.asarray(cam.R, np.float32).reshape(-1)
-        sample["cam_trans"] = np.asarray(cam.T, np.float32)
+        sample["fov"] = np.asarray([fov], np.float32)
+        sample["cam_rot"] = np.asarray(Rr, np.float32).reshape(-1)
+        sample["cam_trans"] = np.asarray(T, np.float32)
         return sample
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:

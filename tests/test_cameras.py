@@ -142,3 +142,30 @@ def test_opencv_conversion_roundtrip():
     scr = np.asarray(cam.transform_points_screen(jnp.asarray(pts), (H, W)))
     np.testing.assert_allclose(scr[:, 0], uv_cv[:, 0], atol=0.05)
     np.testing.assert_allclose(scr[:, 1], uv_cv[:, 1], atol=0.05)
+
+
+def test_camera_from_opencv_np_parity():
+    """The numpy twin used by host-side dataset code must match the jnp
+    conversion exactly (same Rz180 convention, fov-from-fy, aspect)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from smilify_tpu.data.canonical_frame import camera_from_opencv_np
+    from smilify_tpu.render.cameras import camera_from_opencv
+
+    rng = np.random.RandomState(3)
+    for _ in range(3):
+        import cv2
+
+        R = cv2.Rodrigues(rng.randn(3, 1) * 0.5)[0]
+        t = rng.randn(3)
+        K = np.array([[200.0 + rng.rand() * 50, 0, 64], [0, 180.0 + rng.rand() * 50, 60],
+                      [0, 0, 1.0]])
+        size = (120, 128)
+        cam = camera_from_opencv(jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
+                                 jnp.asarray(K, jnp.float32), size)
+        Rr, T, fov, aspect = camera_from_opencv_np(R, t, K, size)
+        np.testing.assert_allclose(np.asarray(cam.R), Rr, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cam.T), T, atol=1e-5)
+        np.testing.assert_allclose(float(cam.fov), fov, atol=1e-4)
+        np.testing.assert_allclose(float(cam.aspect_ratio), aspect, atol=1e-5)
