@@ -134,6 +134,15 @@ def main(argv=None):
         tr_idx, val_idx, te_idx = split_dataset(len(dataset), ratios, cfg.training.seed)
     train_ds = SubsetDataset(dataset, tr_idx)
     val_ds = SubsetDataset(dataset, val_idx)
+    if cfg.augmentation.enabled:
+        # on-the-fly train-split augmentation (reference augments inside the
+        # dataset when augment=True; val/test stay clean)
+        from smilify_tpu.data.augmentation import AugmentedDataset, params_from_config
+
+        train_ds = AugmentedDataset(train_ds, params_from_config(cfg.augmentation),
+                                    seed=cfg.training.seed, multiview=False)
+        print("augmentation active (photometric"
+              + ("+geometric" if cfg.augmentation.geometric_enabled else "") + ")")
     print(f"split: {len(train_ds)} train / {len(val_ds)} val / {len(te_idx)} test")
 
     res = cfg.model.input_resolution or 224
@@ -222,6 +231,8 @@ def main(argv=None):
 
     t_start = time.time()
     for epoch in range(start_epoch, cfg.training.num_epochs):
+        if hasattr(train_ds, "set_epoch"):
+            train_ds.set_epoch(epoch)
         weights = cfg.get_loss_weights_for_epoch(epoch)
         lr = cfg.get_learning_rate_for_epoch(epoch)
         frozen = cfg.model.freeze_backbone and (

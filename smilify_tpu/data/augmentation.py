@@ -127,3 +127,68 @@ def augment_multiview_sample(sample: dict, rng: np.random.Generator, p: Augmenta
     out["camera_intrinsics"] = K
     out["keypoints_2d"] = kp
     return out
+
+
+def augment_singleview_sample(sample: dict, rng: np.random.Generator, p: AugmentationParams) -> dict:
+    """Photometric augmentation of a single-view sample (geometric scale
+    jitter needs intrinsics to update; single-view samples carry renderer
+    camera params instead, so only photometric applies — matching the
+    reference's single-view training path)."""
+    if not p.enabled:
+        return sample
+    out = dict(sample)
+    out["image"] = photometric_augment(np.asarray(sample["image"]), rng, p)
+    return out
+
+
+def params_from_config(aug_cfg) -> AugmentationParams:
+    """AugmentationConfig (train/config.py) → AugmentationParams."""
+    return AugmentationParams(
+        enabled=aug_cfg.enabled,
+        geometric_enabled=aug_cfg.geometric_enabled,
+        color_jitter_brightness=aug_cfg.color_jitter_brightness,
+        color_jitter_contrast=aug_cfg.color_jitter_contrast,
+        color_jitter_saturation=aug_cfg.color_jitter_saturation,
+        gaussian_noise_std=aug_cfg.gaussian_noise_std,
+        gaussian_blur_prob=aug_cfg.gaussian_blur_prob,
+        gaussian_blur_kernel_range=tuple(aug_cfg.gaussian_blur_kernel_range),
+        random_erasing_prob=aug_cfg.random_erasing_prob,
+        random_erasing_scale_range=tuple(aug_cfg.random_erasing_scale_range),
+        scale_jitter_range=tuple(aug_cfg.scale_jitter_range),
+    )
+
+
+class AugmentedDataset:
+    """Train-split wrapper applying on-the-fly augmentation (the reference
+    augments inside SLEAPMultiViewDataset when ``augment=True``,
+    sleap_multiview_dataset.py:801-923; validation/test stay clean).
+
+    Per-call RNG is derived from (seed, epoch, index) so augmentation is
+    deterministic per epoch, fresh across epochs, and safe under the
+    threaded prefetch loader. Call :meth:`set_epoch` each epoch."""
+
+    def __init__(self, dataset, params: AugmentationParams, seed: int = 0,
+                 multiview: bool = True):
+        self.dataset = dataset
+        self.params = params
+        self.seed = seed
+        self.multiview = multiview
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getattr__(self, name):
+        return getattr(self.dataset, name)
+
+    def __getitem__(self, idx: int):
+        sample = self.dataset[idx]
+        rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
+        if self.multiview and "images" in sample:
+            return augment_multiview_sample(sample, rng, self.params)
+        if "image" in sample:
+            return augment_singleview_sample(sample, rng, self.params)
+        return sample

@@ -190,3 +190,36 @@ def test_disabled_augmentation_is_identity():
     }
     out = augment_multiview_sample(sample, np.random.default_rng(0), AugmentationParams(enabled=False))
     np.testing.assert_array_equal(out["images"], sample["images"])
+
+
+def test_augmented_dataset_wrapper():
+    """Train-split augmentation wrapper: pixels change, labels don't;
+    deterministic per (epoch, idx); fresh across epochs (reference augments
+    inside the dataset when augment=True, val/test stay clean)."""
+    import numpy as np
+
+    from smilify_tpu.data.augmentation import AugmentationParams, AugmentedDataset
+
+    class DS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            return {"image": rng.rand(16, 16, 3).astype(np.float32),
+                    "keypoints_2d": np.full((4, 2), i, np.float32)}
+
+    p = AugmentationParams(enabled=True, gaussian_noise_std=0.05,
+                           gaussian_blur_prob=0.0, random_erasing_prob=0.0)
+    aug = AugmentedDataset(DS(), p, seed=7, multiview=False)
+    base = DS()[1]
+    a1 = aug[1]
+    assert not np.allclose(a1["image"], base["image"])          # pixels augmented
+    np.testing.assert_array_equal(a1["keypoints_2d"], base["keypoints_2d"])
+    np.testing.assert_allclose(aug[1]["image"], a1["image"])     # deterministic
+    aug.set_epoch(1)
+    a2 = aug[1]
+    assert not np.allclose(a2["image"], a1["image"])             # fresh per epoch
+    # disabled → identity
+    off = AugmentedDataset(DS(), AugmentationParams(enabled=False), multiview=False)
+    np.testing.assert_array_equal(off[2]["image"], DS()[2]["image"])

@@ -115,3 +115,23 @@ def test_forward_jit_and_grad(stick_spec):
     assert np.isfinite(np.asarray(gt)).all()
     assert np.isfinite(np.asarray(gtr)).all()
     assert float(jnp.abs(gt).sum()) > 0
+
+
+def test_all_bundled_models_load_and_run():
+    """Every bundled model family loads through one spec path and runs the
+    forward (mouse REPOSE variants included)."""
+    import glob
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.lbs import smil_forward
+    from smilify_tpu.core.spec import load_model_spec
+
+    for pkl in sorted(glob.glob("/root/reference/3D_model_prep/*.pkl")):
+        spec = load_model_spec(pkl, align_symmetry=False)
+        out = smil_forward(spec, jnp.zeros((1, spec.n_betas)),
+                           jnp.zeros((1, spec.n_joints, 3)))
+        v = np.asarray(out.verts)
+        assert np.isfinite(v).all(), pkl
+        assert v.std() > 1e-4, pkl  # a real mesh, not degenerate
