@@ -77,8 +77,10 @@ def _cdiv(a, b):
 def _point_segment_sq_t(px, py, ax, ay, bx, by):
     ex, ey = bx - ax, by - ay
     dx, dy = px - ax, py - ay
-    seg = ex * ex + ey * ey
-    t = (dx * ex + dy * ey) / jnp.maximum(seg, 1e-12)
+    # segment length is per-face (8,1): divide once there instead of a full
+    # (8, TILE_PIX) vector divide (VPU divides cost multiple mul-cycles)
+    seg_rinv = 1.0 / jnp.maximum(ex * ex + ey * ey, 1e-12)
+    t = (dx * ex + dy * ey) * seg_rinv
     t = jnp.clip(t, 0.0, 1.0)
     rx = dx - t * ex
     ry = dy - t * ey

@@ -56,8 +56,10 @@ def _point_segment_sq(px, py, ax, ay, bx, by):
     """Squared distance from point to segment, plus the clamp parameter t."""
     ex, ey = bx - ax, by - ay
     dx, dy = px - ax, py - ay
-    seg_len = ex * ex + ey * ey
-    t = (dx * ex + dy * ey) / jnp.maximum(seg_len, 1e-12)
+    # per-face reciprocal instead of a full pixel-grid divide (matches the
+    # Pallas kernel's math exactly)
+    seg_rinv = 1.0 / jnp.maximum(ex * ex + ey * ey, 1e-12)
+    t = (dx * ex + dy * ey) * seg_rinv
     t = jnp.clip(t, 0.0, 1.0)
     rx = dx - t * ex
     ry = dy - t * ey

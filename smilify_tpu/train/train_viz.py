@@ -60,6 +60,46 @@ def _body_forward(spec, preds, idx):
     return out.verts[0] + trans, out.joints[0] + trans
 
 
+def _quick_pck(spec, preds, batch, image_size, multiview: bool, thr_px: float = 5.0):
+    """PCK@5px of predicted joints projected through the predicted cameras on
+    the visualization batch — a cheap per-epoch accuracy signal (the full
+    benchmark CLI computes the proper dual-resolution PCK curves)."""
+    from smilify_tpu.render.cameras import default_camera
+
+    H, W = image_size
+    n = int(np.asarray(preds["global_rot"]).shape[0])
+    hits, total = 0, 0
+    for i in range(n):
+        _, joints3d = _body_forward(spec, preds, i)
+        if multiview:
+            vm = np.asarray(batch["view_mask"][i])
+            if not vm.any():
+                continue
+            v = int(np.nonzero(vm)[0][0])
+            cam = default_camera().replace(R=preds["view_cam_rot"][i, v],
+                                           T=preds["view_cam_trans"][i, v],
+                                           fov=preds["view_fov"][i, v])
+            gt_xy = np.asarray(batch["keypoints_2d"][i, v])
+            vis = np.asarray(batch["keypoint_visibility"][i, v]) > 0
+        else:
+            cam = default_camera().replace(R=preds["cam_rot"][i], T=preds["cam_trans"][i],
+                                           fov=preds["fov"][i])
+            gt_xy = np.asarray(batch["keypoints_2d"][i])
+            vis = np.asarray(batch.get("keypoint_visibility",
+                                       np.ones(gt_xy.shape[:1]))[i]) > 0
+        if not vis.any():
+            continue
+        if np.nanmax(np.abs(gt_xy)) <= 1.5:
+            # normalized (y, x) convention (replicAnt loader) → pixel xy
+            gt_xy = np.stack([gt_xy[:, 1] * W, gt_xy[:, 0] * H], axis=-1)
+        yx = np.asarray(cam.project_points_yx(joints3d, (H, W)))
+        K = min(len(yx), len(gt_xy))
+        err = np.linalg.norm(yx[:K, ::-1] - gt_xy[:K], axis=-1)
+        hits += int((err[vis[:K]] < thr_px).sum())
+        total += int(vis[:K].sum())
+    return (hits / total) if total else None
+
+
 def render_epoch_collages(
     spec,
     preds: Dict,
@@ -172,6 +212,9 @@ def epoch_visualization(
     preds, _ = apply_fn({"params": params, "batch_stats": batch_stats}, batch, False)
     preds = jax.device_get(preds)
     metrics = ief_delta_norms(preds.get("ief_history") or [])
+    pck = _quick_pck(spec, preds, batch, image_size, multiview=multiview)
+    if pck is not None:
+        metrics["ief_val_pck5"] = pck  # logged + plotted with the IEF curves
 
     render_epoch_collages(
         spec, preds, batch, image_size,

@@ -363,6 +363,23 @@ def plot_training_history(history: List[Dict[str, float]], out_dir: str):
         fig.savefig(p, dpi=120)
         plt.close(fig)
         written.append(p)
+
+    # IEF health: per-iteration delta norms logged by epoch_visualization
+    # (reference IEF-delta monitoring, train_multiview_regressor.py:663-670)
+    ief_keys = sorted({k for h in history for k in h if k.startswith("ief_")})
+    if ief_keys:
+        fig, ax = plt.subplots(figsize=(8, 4))
+        for k in ief_keys:
+            ax.plot(epochs, [h.get(k, float("nan")) for h in history], label=k[4:])
+        ax.set_xlabel("epoch")
+        ax.set_yscale("log")
+        ax.legend(fontsize=7)
+        ax.set_title("IEF estimate-delta norms")
+        ax.grid(alpha=0.3)
+        p = os.path.join(out_dir, "ief_deltas.png")
+        fig.savefig(p, dpi=120)
+        plt.close(fig)
+        written.append(p)
     return written
 
 

@@ -98,3 +98,32 @@ def test_dryrun_multichip_entrypoint():
         timeout=1800,
     )
     assert "OK" in out
+
+
+def test_quick_pck_helper():
+    """Training-time PCK@5 signal: 1.0 at consistent GT, 0.0 when shifted."""
+    code = (
+        "import numpy as np, jax.numpy as jnp, jax\n"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')\n"
+        "from smilify_tpu.train.multidevice import toy_model_spec\n"
+        "from smilify_tpu.train.train_viz import _body_forward, _quick_pck\n"
+        "from smilify_tpu.render.cameras import default_camera\n"
+        "spec = toy_model_spec()\n"
+        "cam = default_camera()\n"
+        "preds = {'global_rot': jnp.zeros((2, 3)),\n"
+        "         'joint_rot': jnp.zeros((2, spec.n_joints - 1, 3)),\n"
+        "         'betas': jnp.zeros((2, spec.n_betas)), 'trans': jnp.zeros((2, 3)),\n"
+        "         'fov': jnp.full((2,), 60.0),\n"
+        "         'cam_rot': jnp.tile(cam.R[None], (2, 1, 1)),\n"
+        "         'cam_trans': jnp.tile(cam.T[None], (2, 1))}\n"
+        "_, joints = _body_forward(spec, preds, 0)\n"
+        "yx = np.asarray(cam.project_points_yx(joints, (64, 64)))\n"
+        "batch = {'keypoints_2d': np.tile(yx[None, :, ::-1], (2, 1, 1)),\n"
+        "         'keypoint_visibility': np.ones((2, spec.n_joints))}\n"
+        "assert _quick_pck(spec, preds, batch, (64, 64), multiview=False) == 1.0\n"
+        "batch['keypoints_2d'] = batch['keypoints_2d'] + 20.0\n"
+        "assert _quick_pck(spec, preds, batch, (64, 64), multiview=False) == 0.0\n"
+        "print('PCK OK')\n"
+    )
+    out = run_subprocess(code, n_devices=1)
+    assert "PCK OK" in out
