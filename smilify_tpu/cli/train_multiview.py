@@ -181,7 +181,9 @@ def main(argv=None):
                 state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
                     state.params, state.batch_stats, state.opt_state, batch
                 )
-                losses.append(float(loss))
+                # keep the device scalar — float() here would synchronize and
+                # serialize host loading against device compute
+                losses.append(loss)
             except Exception as e:  # noqa: BLE001
                 skipped += 1
                 print(f"warning: skipped batch ({type(e).__name__}: {e})")
@@ -192,7 +194,7 @@ def main(argv=None):
         if not losses:
             raise SystemExit("no batches — dataset smaller than batch size?")
         state.epoch = epoch
-        mean_loss = float(np.mean(losses))
+        mean_loss = float(np.mean([float(l) for l in losses]))
         state.history.append({"epoch": epoch, "loss": mean_loss, "lr": lr})
         for k, v in objs.items():
             state.history[-1][f"loss_{k}"] = float(v)

@@ -271,7 +271,9 @@ def main(argv=None):
                 state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
                     state.params, state.batch_stats, state.opt_state, batch
                 )
-                epoch_losses.append(float(loss))
+                # keep the device scalar — float() here would synchronize and
+                # serialize host loading against device compute
+                epoch_losses.append(loss)
             except Exception as e:  # noqa: BLE001
                 skipped += 1
                 print(f"warning: skipped batch ({type(e).__name__}: {e})")
@@ -281,7 +283,7 @@ def main(argv=None):
             print(f"epoch {epoch}: skipped {skipped} failing batches")
         if not epoch_losses:
             raise SystemExit("no batches — dataset smaller than batch size?")
-        mean_loss = float(np.mean(epoch_losses))
+        mean_loss = float(np.mean([float(l) for l in epoch_losses]))
         state.epoch = epoch
         state.history.append({"epoch": epoch, "loss": mean_loss, "lr": lr})
         for k, v in objs.items():
