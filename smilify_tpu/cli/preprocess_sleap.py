@@ -32,7 +32,7 @@ import glob
 import json
 import os
 from concurrent.futures import ProcessPoolExecutor
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -33,8 +33,6 @@ def load_model_from_checkpoint(ckpt_path: str):
     import jax.numpy as jnp
 
     from smilify_tpu.train.config import config_from_dict, resolve_model_spec
-    from smilify_tpu.train.trainer import load_checkpoint
-
     meta_path = ckpt_path + ".meta.json"
     with open(meta_path) as f:
         meta = json.load(f)
@@ -182,7 +180,6 @@ def main(argv=None):
         print(f"animation → {path}")
 
     if args.render_dir or args.video:
-        from smilify_tpu.fitter.fitter import render_frame
         from smilify_tpu.render.cameras import default_camera
         from smilify_tpu.render.phong import render_phong
         from smilify_tpu.utils.visualization import draw_joints

@@ -9,7 +9,6 @@ the original capture data is unavailable.
 
 from __future__ import annotations
 
-from typing import List, Optional
 
 import numpy as np
 

@@ -18,7 +18,7 @@ f32.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, NamedTuple, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

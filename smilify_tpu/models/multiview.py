@@ -25,7 +25,7 @@ joints (gradients flow into the camera heads; _triangulate_joints_dlt:1707).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ from smilify_tpu.models.regressor import (
 )
 from smilify_tpu.models.transformer_decoder import SMILTransformerDecoderHead
 from smilify_tpu.core.rotations import robust_rotation_6d_to_matrix
-from smilify_tpu.render.cameras import FoVCamera, default_camera, triangulate_dlt
+from smilify_tpu.render.cameras import default_camera, triangulate_dlt
 
 HIGHEST = jax.lax.Precision.HIGHEST
 

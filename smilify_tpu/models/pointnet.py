@@ -16,9 +16,8 @@ with static group sizes (mask-padded) instead of dynamic neighborhoods.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

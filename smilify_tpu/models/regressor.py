@@ -34,7 +34,7 @@ from smilify_tpu.core.rotations import (
 from smilify_tpu.core.spec import ModelSpec
 from smilify_tpu.models.backbones import create_backbone
 from smilify_tpu.models.transformer_decoder import MLPHead, SMILTransformerDecoderHead
-from smilify_tpu.render.cameras import FoVCamera, default_camera
+from smilify_tpu.render.cameras import default_camera
 
 HIGHEST = jax.lax.Precision.HIGHEST
 

@@ -14,7 +14,7 @@ reference's IEF-health monitoring (train_multiview_regressor.py:663-670).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp

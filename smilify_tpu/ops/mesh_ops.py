@@ -11,7 +11,7 @@ the ``*_from_faces`` helpers and passed in as static data.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax

@@ -17,7 +17,6 @@ TPU-native equivalents of the reference's SDF pipeline:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

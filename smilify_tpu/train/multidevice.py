@@ -17,7 +17,6 @@ Run directly:  python -m smilify_tpu.train.multidevice [n_devices]
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Optional
 
 import numpy as np

@@ -23,7 +23,6 @@ from __future__ import annotations
 import dataclasses
 import os
 from collections import deque
-from functools import partial
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np

@@ -13,7 +13,7 @@ shape spaces here this converges in 2-3 iterations.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

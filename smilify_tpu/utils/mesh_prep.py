@@ -11,7 +11,6 @@ everything that operates on mesh arrays is reproduced here.
 
 from __future__ import annotations
 
-import os
 import struct
 from typing import Dict, List, Tuple
 
