@@ -63,22 +63,71 @@ def _overlay_sample_mv(sample, out_path):
     imageio.imwrite(out_path, (grid * 255).astype(np.uint8))
 
 
+def _smal_overlay_mv(sample, spec, out_path):
+    """Render the GT-posed SMAL model through each view's camera and blend it
+    over the images (reference multiview_common/smal_render.py used by the
+    Streamlit viewer). Needs GT pose in the sample (has_pose)."""
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.lbs import smil_forward
+    from smilify_tpu.data.canonical_frame import camera_from_opencv_np
+    from smilify_tpu.render.cameras import default_camera
+    from smilify_tpu.render.phong import render_phong
+
+    theta = jnp.concatenate(
+        [jnp.asarray(sample["global_rot"])[None, None, :],
+         jnp.asarray(sample["joint_rot"])[None]], axis=1)
+    out = smil_forward(spec, jnp.asarray(sample["betas"][: spec.n_betas])[None], theta)
+    verts = out.verts[0] + jnp.asarray(sample["trans"])
+
+    panels = []
+    for v in range(sample["images"].shape[0]):
+        if not sample["view_mask"][v]:
+            continue
+        img = sample["images"][v]
+        H, W = img.shape[:2]
+        Rr, T, fov, aspect = camera_from_opencv_np(
+            sample["camera_extrinsics_R"][v], sample["camera_extrinsics_t"][v],
+            sample["camera_intrinsics"][v], (H, W))
+        cam = default_camera().replace(R=jnp.asarray(Rr, jnp.float32),
+                                       T=jnp.asarray(T, jnp.float32),
+                                       fov=jnp.asarray(fov, jnp.float32),
+                                       aspect_ratio=jnp.asarray(aspect, jnp.float32))
+        pv = cam.world_to_view(verts)
+        ndc = jnp.concatenate([cam.view_to_ndc(pv)[:, :2], pv[:, 2:3]], axis=1)
+        shaded = np.asarray(render_phong(verts, pv, ndc, spec.faces, (H, W)))
+        mask = (shaded < 0.999).any(axis=-1, keepdims=True)  # off-background
+        panels.append(np.where(mask, shaded * 0.65 + img * 0.35, img))
+    if panels:
+        grid = np.concatenate(panels, axis=1)
+        imageio.imwrite(out_path, (np.clip(grid, 0, 1) * 255).astype(np.uint8))
+        return True
+    return False
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Static HTML dataset inspector")
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--output", default="dataset_report")
     ap.add_argument("--samples", type=int, default=8)
     ap.add_argument("--model", default=None, help="model pkl for raw replicAnt dirs")
+    ap.add_argument("--render-smal", action="store_true",
+                    help="blend the GT-posed SMAL render over each view "
+                         "(needs --model and GT pose in the dataset)")
     args = ap.parse_args(argv)
 
     from smilify_tpu.data.combined import open_dataset
     from smilify_tpu.data.hdf5_dataset import detect_dataset_type
 
-    joint_names = None
+    joint_names, spec = None, None
     if args.model:
         from smilify_tpu.core.spec import load_model_spec
 
-        joint_names = load_model_spec(args.model, align_symmetry=False).joint_names
+        spec = load_model_spec(args.model, align_symmetry=False)
+        joint_names = spec.joint_names
+    if args.render_smal and spec is None:
+        raise SystemExit("--render-smal needs --model")
 
     kind = detect_dataset_type(args.dataset)
     ds = open_dataset(args.dataset, joint_names=joint_names)
@@ -95,6 +144,11 @@ def main(argv=None):
             info = (f"views={int(np.sum(s['view_mask']))} "
                     f"has_3d={bool(s.get('has_3d_data'))} "
                     f"vis={float(np.mean(s['keypoint_visibility'])):.2f}")
+            if args.render_smal and s.get("has_pose"):
+                smal_name = f"sample_{i}_smal.png"
+                if _smal_overlay_mv(s, spec, os.path.join(args.output, smal_name)):
+                    rows.append(f"<div class='card'><img src='{smal_name}'>"
+                                f"<p>#{i} SMAL overlay</p></div>")
         else:
             _overlay_sample_sv(s, os.path.join(args.output, img_name))
             info = f"vis={float(np.mean(s['keypoint_visibility'])):.2f}"
