@@ -334,8 +334,29 @@ def compute_batch_loss(
         )
     if w["joint_rot"] > 0 and "joint_rot" in targets:
         m = avail.get("pose")
-        mask = None if m is None else m[:, None, None]
-        objs["joint_rot"] = w["joint_rot"] * _masked_mse(preds["joint_rot"], targets["joint_rot"], mask)
+        vis = targets.get("kp_visibility")
+        if vis is not None and vis.shape[-1] == preds["joint_rot"].shape[1] + 1:
+            # per-joint visibility-weighted rotation loss (reference
+            # _compute_visibility_aware_joint_rotation_loss, :3117-3268):
+            # Frobenius distance between rotation matrices, averaged over the
+            # VISIBLE non-root joints only
+            from smilify_tpu.core.rotations import axis_angle_to_matrix
+
+            pm = axis_angle_to_matrix(preds["joint_rot"])
+            tm = axis_angle_to_matrix(targets["joint_rot"])
+            ss = jnp.sum((pm - tm) ** 2, axis=(-2, -1))
+            # double-where sqrt: exactly 0 at GT with a finite gradient
+            per_joint = jnp.where(ss > 0, jnp.sqrt(jnp.where(ss > 0, ss, 1.0)), 0.0)
+            jvis = vis[:, 1:].astype(per_joint.dtype)     # root excluded
+            if m is not None:
+                jvis = jvis * m[:, None]
+            objs["joint_rot"] = w["joint_rot"] * (
+                jnp.sum(per_joint * jvis) / jnp.maximum(jnp.sum(jvis), 1e-8)
+            )
+        else:
+            mask = None if m is None else m[:, None, None]
+            objs["joint_rot"] = w["joint_rot"] * _masked_mse(
+                preds["joint_rot"], targets["joint_rot"], mask)
     if w["betas"] > 0 and "betas" in targets:
         objs["betas"] = w["betas"] * _masked_mse(preds["betas"], targets["betas"], amask("betas"))
     if w["trans"] > 0 and "trans" in targets:

@@ -144,3 +144,43 @@ def test_mlp_head_smoke(stick_spec):
     assert out["betas"].shape == (2, spec.n_betas)
     # zero-init kernel + identity bias ⇒ 6D identity at init
     np.testing.assert_allclose(np.asarray(out["global_rot"][0]), [1, 0, 0, 0, 1, 0], atol=1e-6)
+
+
+def test_visibility_weighted_joint_rotation_loss(stick_spec):
+    """Rotation error on an INVISIBLE joint must not contribute (reference
+    smil_image_regressor.py:3117-3268)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from smilify_tpu.models.regressor import RegressorConfig, compute_batch_loss
+
+    spec = stick_spec
+    cfg = RegressorConfig(n_pose=spec.n_joints - 1, n_betas=spec.n_betas,
+                          n_joints=spec.n_joints)
+    N, P = 2, spec.n_joints - 1
+    rng = np.random.RandomState(0)
+    jr = jnp.asarray(rng.randn(N, P, 3) * 0.1, jnp.float32)
+    preds = {"joint_rot": jr, "global_rot": jnp.zeros((N, 3)),
+             "betas": jnp.zeros((N, spec.n_betas)), "trans": jnp.zeros((N, 3)),
+             "fov": jnp.full((N,), 60.0),
+             "cam_rot": jnp.tile(jnp.eye(3)[None], (N, 1, 1)),
+             "cam_trans": jnp.zeros((N, 3))}
+    # corrupt joint 3's rotation in the target
+    jr_bad = jr.at[:, 3].add(1.0)
+    vis_all = jnp.ones((N, spec.n_joints))
+    vis_hide = vis_all.at[:, 4].set(0.0)  # joint_rot index 3 ↔ visibility index 4
+
+    w = {"joint_rot": 1.0}
+    _, with_err = compute_batch_loss(spec, cfg, preds,
+                                     {"joint_rot": jr_bad, "kp_visibility": vis_all},
+                                     w, image_size=(64, 64))
+    _, hidden = compute_batch_loss(spec, cfg, preds,
+                                   {"joint_rot": jr_bad, "kp_visibility": vis_hide},
+                                   w, image_size=(64, 64))
+    assert float(with_err["joint_rot"]) > 0.01
+    assert float(hidden["joint_rot"]) < 1e-5
+    # perfect prediction → ~0 either way
+    _, perfect = compute_batch_loss(spec, cfg, preds,
+                                    {"joint_rot": jr, "kp_visibility": vis_all},
+                                    w, image_size=(64, 64))
+    assert float(perfect["joint_rot"]) < 1e-5
