@@ -127,3 +127,51 @@ def test_quick_pck_helper():
     )
     out = run_subprocess(code, n_devices=1)
     assert "PCK OK" in out
+
+
+def test_epoch_visualization_outputs(tmp_path):
+    """render_epoch_collages + plot_3d_keypoints + IEF metrics produce files
+    from one decoded batch (the per-epoch observability path both trainers
+    call; reference train_multiview_regressor.py:820-1722)."""
+    code = (
+        "import numpy as np, jax, jax.numpy as jnp, os, sys\n"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')\n"
+        "from smilify_tpu.train.multidevice import toy_model_spec\n"
+        "from smilify_tpu.train.train_viz import epoch_visualization\n"
+        "from smilify_tpu.render.cameras import default_camera\n"
+        "spec = toy_model_spec()\n"
+        "cam = default_camera()\n"
+        "out_root = sys.argv[1]\n"
+        "B, K = 2, spec.n_joints\n"
+        "preds = {'global_rot': jnp.zeros((B, 3)),\n"
+        "         'joint_rot': jnp.zeros((B, spec.n_joints - 1, 3)),\n"
+        "         'betas': jnp.zeros((B, spec.n_betas)), 'trans': jnp.zeros((B, 3)),\n"
+        "         'fov': jnp.full((B,), 60.0),\n"
+        "         'cam_rot': jnp.tile(cam.R[None], (B, 1, 1)),\n"
+        "         'cam_trans': jnp.tile(cam.T[None], (B, 1)),\n"
+        "         'ief_history': [jnp.zeros((B, 8)), jnp.ones((B, 8))]}\n"
+        "batch = {'image': np.random.RandomState(0).rand(B, 48, 48, 3).astype(np.float32),\n"
+        "         'keypoints_2d': np.full((B, K, 2), 24.0, np.float32),\n"
+        "         'keypoint_visibility': np.ones((B, K), np.float32),\n"
+        "         'keypoints_3d': np.zeros((B, K, 3), np.float32)}\n"
+        "def apply_fn(variables, b, train):\n"
+        "    return preds, None\n"
+        "m = epoch_visualization(spec, apply_fn, {}, {}, batch, (48, 48),\n"
+        "                        out_root, epoch=3, multiview=False, max_samples=2)\n"
+        "viz = os.path.join(out_root, 'visualizations')\n"
+        "assert os.path.exists(os.path.join(viz, 'epoch0003_sample0.png'))\n"
+        "assert os.path.exists(os.path.join(viz, 'epoch0003_kp3d.png'))\n"
+        "assert 'ief_delta_iter1' in m and m['ief_delta_iter1'] > 0\n"
+        "assert 'ief_val_pck5' in m\n"
+        "print('VIZ OK')\n"
+    )
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+    out = subprocess.run([sys.executable, "-c", code, str(tmp_path)], env=env,
+                         cwd=REPO, timeout=600, capture_output=True, text=True)
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "VIZ OK" in out.stdout
