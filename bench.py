@@ -35,13 +35,27 @@ import jax.numpy as jnp
 # Measured reference full-step throughput (see module docstring). Read from
 # tools/reference_baseline.json when present so re-measuring updates the bench.
 REFERENCE_BASELINE_ITERS_PER_SEC = 0.00242
+BASELINE_CAVEATS = {
+    # the baseline is the reference stack measured on THIS host's CPU — the
+    # only measurable reference here (no CUDA/PyTorch3D). These fields make
+    # the headline ratio self-describing; like-for-like component ratios on
+    # matched workloads: SMIL forward 22x, fwd+bwd 31-35x.
+    "baseline_host_threads": 1,
+    "baseline_measured_date": "2026-08-16",
+    "baseline_stack": "reference torch SMAL + faithful soft-raster, CPU",
+    "component_ratio_smil_forward": 22.0,
+    "component_ratio_fwd_bwd": 31.0,
+}
 _ref_json = os.path.join(os.path.dirname(__file__), "tools", "reference_baseline.json")
 if os.path.exists(_ref_json):
     try:
         with open(_ref_json) as _f:
-            REFERENCE_BASELINE_ITERS_PER_SEC = float(
-                json.load(_f)["full_step_512_iters_per_sec"]
-            )
+            _ref = json.load(_f)
+        REFERENCE_BASELINE_ITERS_PER_SEC = float(_ref["full_step_512_iters_per_sec"])
+        if "host_threads" in _ref:
+            BASELINE_CAVEATS["baseline_host_threads"] = _ref["host_threads"]
+        if "measured_date" in _ref:
+            BASELINE_CAVEATS["baseline_measured_date"] = _ref["measured_date"]
     except (KeyError, ValueError):
         pass
 
@@ -112,6 +126,7 @@ def main():
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/sec (512x512, F=6019, sil+kp+priors, 1 frame)",
                 "vs_baseline": round(iters_per_sec / REFERENCE_BASELINE_ITERS_PER_SEC, 2),
+                **BASELINE_CAVEATS,
             }
         )
     )

@@ -26,13 +26,45 @@ import os
 import numpy as np
 
 
+def discover_checkpoint(path: str) -> str:
+    """Resolve a run directory to its best checkpoint: ``best_model`` first,
+    then ``final_model``, then the newest ``epoch_N`` — searching both the run
+    root and a ``checkpoints/`` subdir (reference auto-discovery,
+    run_multiview_inference.py:66,298-305). A path that is already a
+    checkpoint (has a sibling ``.meta.json``) is returned unchanged."""
+    if os.path.exists(path + ".meta.json"):
+        return path
+    if not os.path.isdir(path):
+        return path
+    for root in (path, os.path.join(path, "checkpoints")):
+        if not os.path.isdir(root):
+            continue
+        for name in ("best_model", "final_model"):
+            cand = os.path.join(root, name)
+            if os.path.exists(cand + ".meta.json"):
+                print(f"auto-discovered checkpoint: {cand}")
+                return cand
+        epochs = sorted(
+            (int(n.split("_")[1]), n) for n in os.listdir(root)
+            if n.startswith("epoch_") and n.split("_")[1].isdigit()
+            and os.path.exists(os.path.join(root, n + ".meta.json"))
+        )
+        if epochs:
+            cand = os.path.join(root, epochs[-1][1])
+            print(f"auto-discovered checkpoint: {cand}")
+            return cand
+    return path
+
+
 def load_model_from_checkpoint(ckpt_path: str):
     """Rebuild model+params from a checkpoint directory (config embedded in
-    the .meta.json — the reference's checkpoint['config'] contract)."""
+    the .meta.json — the reference's checkpoint['config'] contract). A run
+    directory is resolved via ``discover_checkpoint`` (best_model first)."""
     import jax
     import jax.numpy as jnp
 
     from smilify_tpu.train.config import config_from_dict, resolve_model_spec
+    ckpt_path = discover_checkpoint(ckpt_path)
     meta_path = ckpt_path + ".meta.json"
     with open(meta_path) as f:
         meta = json.load(f)
@@ -184,8 +216,13 @@ def main(argv=None):
         from smilify_tpu.render.phong import render_phong
         from smilify_tpu.utils.visualization import draw_joints
 
-        os.makedirs(args.render_dir or "/tmp/render", exist_ok=True)
-        render_dir = args.render_dir or "/tmp/render"
+        # default render location: cfg.output.visualizations_dir next to the
+        # checkpoint (reference inference writes into the run's viz dir)
+        render_dir = args.render_dir or os.path.join(
+            os.path.dirname(discover_checkpoint(args.checkpoint)) or ".",
+            cfg.output.visualizations_dir,
+        )
+        os.makedirs(render_dir, exist_ok=True)
         import imageio.v2 as imageio
 
         preds_j = {k: jnp.asarray(v) for k, v in traj.items()}

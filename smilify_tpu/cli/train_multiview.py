@@ -26,8 +26,16 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, help="checkpoint name/path to resume")
     ap.add_argument("--allow-random-backbone", action="store_true",
                     help="permit freeze_backbone=true without model.pretrained_npz")
+    ap.add_argument("--multihost", action="store_true",
+                    help="force jax.distributed.initialize() (auto-detected from "
+                         "SLURM/TPU-pod env otherwise)")
     ap.add_argument("--set", nargs="*", default=None)
     args = ap.parse_args(argv)
+
+    # must run before any other jax API use (reference setup_ddp ordering)
+    from smilify_tpu.train.multihost import is_primary, local_batch_size, maybe_initialize_multihost
+
+    multihost = maybe_initialize_multihost(args.multihost)
 
     import jax
     import jax.numpy as jnp
@@ -50,10 +58,10 @@ def main(argv=None):
         TrainState,
         build_optimizer,
         data_mesh,
+        end_of_epoch_outputs,
         iterate_batches,
         make_train_step,
         replicate,
-        save_checkpoint,
         shard_batch,
         split_dataset,
         SubsetDataset,
@@ -118,6 +126,14 @@ def main(argv=None):
     mesh = data_mesh()
     n_dev = len(mesh.devices.reshape(-1))
     bs = max(n_dev, (cfg.training.batch_size // n_dev) * n_dev)
+    if multihost and jax.process_count() > 1:
+        # each host feeds its slice of the global batch from a disjoint shard
+        # of the dataset (reference DistributedSampler semantics)
+        bs = local_batch_size(bs)
+        pi, pc = jax.process_index(), jax.process_count()
+        train_ds = SubsetDataset(train_ds, np.arange(pi, len(train_ds), pc))
+        print(f"multihost: host {pi}/{pc}, local batch {bs}, "
+              f"{len(train_ds)} local train samples")
     os.makedirs(args.output_dir, exist_ok=True)
 
     H = W = res
@@ -146,6 +162,8 @@ def main(argv=None):
                                       ignored_joint_indices=ignored_idx)
 
     t0 = time.time()
+    best_val = min((h.get("val_loss", float("inf")) for h in state.history),
+                   default=float("inf"))
     for epoch in range(start_epoch, cfg.training.num_epochs):
         if hasattr(train_ds, "set_epoch"):
             train_ds.set_epoch(epoch)
@@ -211,7 +229,9 @@ def main(argv=None):
                 print(f"epoch {epoch}: val_loss {state.history[-1]['val_loss']:.5f}")
 
         last_epoch = epoch == cfg.training.num_epochs - 1
-        if (epoch + 1) % cfg.output.generate_visualizations_every == 0 or last_epoch:
+        # host-side writes are process-0-only (reference rank==0 gating)
+        if is_primary() and ((epoch + 1) % cfg.output.generate_visualizations_every == 0
+                             or last_epoch):
             from smilify_tpu.train.train_viz import epoch_visualization
 
             viz_ds = val_ds if len(val_ds) else train_ds
@@ -220,18 +240,17 @@ def main(argv=None):
             ief_metrics = epoch_visualization(
                 spec, apply_fn, state.params, state.batch_stats, vb, (H, W),
                 args.output_dir, epoch, multiview=True,
+                viz_dir=cfg.output.train_visualizations_dir,
             )
             state.history[-1].update(ief_metrics)
             if ief_metrics:
                 tail = {k: round(v, 5) for k, v in list(ief_metrics.items())[:3]}
-                print(f"epoch {epoch}: ief deltas {tail} (collages → visualizations/)")
+                print(f"epoch {epoch}: ief deltas {tail} "
+                      f"(collages -> {cfg.output.train_visualizations_dir}/)")
 
-        if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or last_epoch:
-            save_checkpoint(args.output_dir, state, cfg, name="final_model")
-            from smilify_tpu.train.trainer import plot_training_history
-
-            plot_training_history(state.history, os.path.join(args.output_dir, cfg.output.plots_dir))
-            print("checkpoint saved")
+        if is_primary():
+            best_val = end_of_epoch_outputs(args.output_dir, state, cfg, epoch,
+                                            last_epoch, best_val)
 
     return state
 

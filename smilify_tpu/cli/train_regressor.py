@@ -76,7 +76,15 @@ def main(argv=None):
     ap.add_argument("--allow-random-backbone", action="store_true",
                     help="permit freeze_backbone=true without model.pretrained_npz")
     ap.add_argument("--set", nargs="*", default=None, help="dotted config overrides a.b=c")
+    ap.add_argument("--multihost", action="store_true",
+                    help="force jax.distributed.initialize() (auto-detected from "
+                         "SLURM/TPU-pod env otherwise)")
     args = ap.parse_args(argv)
+
+    # must run before any other jax API use (reference setup_ddp ordering)
+    from smilify_tpu.train.multihost import is_primary, local_batch_size, maybe_initialize_multihost
+
+    multihost = maybe_initialize_multihost(args.multihost)
 
     import jax
     import jax.numpy as jnp
@@ -96,7 +104,6 @@ def main(argv=None):
         iterate_batches,
         make_train_step,
         replicate,
-        save_checkpoint,
         shard_batch,
         split_dataset,
         SubsetDataset,
@@ -165,6 +172,14 @@ def main(argv=None):
     if bs % n_dev:
         bs = max(n_dev, (bs // n_dev) * n_dev)
         print(f"batch_size rounded to {bs} for {n_dev} devices")
+    if multihost and jax.process_count() > 1:
+        # per-host batch slice + disjoint dataset shard (reference
+        # DistributedSampler semantics)
+        bs = local_batch_size(bs)
+        pi, pc = jax.process_index(), jax.process_count()
+        train_ds = SubsetDataset(train_ds, np.arange(pi, len(train_ds), pc))
+        print(f"multihost: host {pi}/{pc}, local batch {bs}, "
+              f"{len(train_ds)} local train samples")
 
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -230,6 +245,8 @@ def main(argv=None):
         return targets
 
     t_start = time.time()
+    best_val = min((h.get("val_loss", float("inf")) for h in state.history),
+                   default=float("inf"))
     for epoch in range(start_epoch, cfg.training.num_epochs):
         if hasattr(train_ds, "set_epoch"):
             train_ds.set_epoch(epoch)
@@ -302,7 +319,9 @@ def main(argv=None):
                 print(f"epoch {epoch}: val_loss {state.history[-1]['val_loss']:.5f}")
 
         last_epoch = epoch == cfg.training.num_epochs - 1
-        if (epoch + 1) % cfg.output.generate_visualizations_every == 0 or last_epoch:
+        # host-side writes are process-0-only (reference rank==0 gating)
+        if is_primary() and ((epoch + 1) % cfg.output.generate_visualizations_every == 0
+                             or last_epoch):
             from smilify_tpu.data.hdf5_dataset import collate_multiview as collate_plain
             from smilify_tpu.train.train_viz import epoch_visualization
 
@@ -313,16 +332,15 @@ def main(argv=None):
                 ief_metrics = epoch_visualization(
                     spec, apply_fn, state.params, state.batch_stats, vb, (res, res),
                     args.output_dir, epoch, multiview=False,
+                    viz_dir=cfg.output.train_visualizations_dir,
                 )
                 state.history[-1].update(ief_metrics)
 
-        if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or last_epoch:
-            path = save_checkpoint(args.output_dir, state, cfg, name=f"epoch_{epoch}")
-            save_checkpoint(args.output_dir, state, cfg, name="final_model")
-            from smilify_tpu.train.trainer import plot_training_history
+        from smilify_tpu.train.trainer import end_of_epoch_outputs
 
-            plot_training_history(state.history, os.path.join(args.output_dir, cfg.output.plots_dir))
-            print(f"checkpoint → {path}")
+        if is_primary():
+            best_val = end_of_epoch_outputs(args.output_dir, state, cfg, epoch,
+                                            last_epoch, best_val)
 
     return state
 

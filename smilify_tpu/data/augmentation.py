@@ -32,6 +32,7 @@ class AugmentationParams:
     random_erasing_prob: float = 0.2
     random_erasing_scale_range: Tuple[float, float] = (0.02, 0.1)
     scale_jitter_range: Tuple[float, float] = (0.9, 1.1)
+    crop_jitter_fraction: float = 0.0
 
 
 def photometric_augment(img: np.ndarray, rng: np.random.Generator, p: AugmentationParams) -> np.ndarray:
@@ -107,6 +108,39 @@ def geometric_scale_jitter(
     return out, K_new, kp_new
 
 
+def geometric_crop_jitter(
+    img: np.ndarray,
+    K: np.ndarray,
+    rng: np.random.Generator,
+    p: AugmentationParams,
+    keypoints_xy: Optional[np.ndarray] = None,
+):
+    """Shift the crop window by up to ``crop_jitter_fraction`` of the image
+    size and update K (and pixel keypoints).
+
+    Translating image content by (dx, dy) is exactly a principal-point shift
+    by (dx, dy), so reprojection through the updated K stays consistent —
+    the same invariant the scale jitter keeps.
+    """
+    import cv2
+
+    H, W = img.shape[:2]
+    dx = rng.uniform(-p.crop_jitter_fraction, p.crop_jitter_fraction) * W
+    dy = rng.uniform(-p.crop_jitter_fraction, p.crop_jitter_fraction) * H
+
+    M = np.array([[1, 0, dx], [0, 1, dy]], dtype=np.float64)
+    out = cv2.warpAffine(img, M, (W, H), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+
+    K_new = K.astype(np.float64).copy()
+    K_new[0, 2] += dx
+    K_new[1, 2] += dy
+
+    kp_new = None
+    if keypoints_xy is not None:
+        kp_new = np.asarray(keypoints_xy, dtype=np.float64) + np.array([dx, dy])
+    return out, K_new, kp_new
+
+
 def augment_multiview_sample(sample: dict, rng: np.random.Generator, p: AugmentationParams) -> dict:
     """Apply photometric (per view) and optional geometric augs to a padded
     multi-view sample dict (see MultiViewHDF5Dataset.__getitem__)."""
@@ -120,6 +154,8 @@ def augment_multiview_sample(sample: dict, rng: np.random.Generator, p: Augmenta
         images[v] = photometric_augment(images[v], rng, p)
         if p.geometric_enabled:
             img, K_new, kp_new = geometric_scale_jitter(images[v], K[v], rng, p, kp[v])
+            if p.crop_jitter_fraction > 0:
+                img, K_new, kp_new = geometric_crop_jitter(img, K_new, rng, p, kp_new)
             images[v] = img
             K[v] = K_new
             kp[v] = kp_new
@@ -155,6 +191,7 @@ def params_from_config(aug_cfg) -> AugmentationParams:
         random_erasing_prob=aug_cfg.random_erasing_prob,
         random_erasing_scale_range=tuple(aug_cfg.random_erasing_scale_range),
         scale_jitter_range=tuple(aug_cfg.scale_jitter_range),
+        crop_jitter_fraction=aug_cfg.crop_jitter_fraction,
     )
 
 

@@ -188,7 +188,9 @@ class MultiDatasetConfig:
 
 @dataclass
 class OutputConfig:
-    checkpoint_dir: str = "checkpoints"
+    # checkpoints live at <output_dir>/<checkpoint_dir>; "." keeps them at the
+    # run root (the reference nests under "checkpoints/" — set it to match)
+    checkpoint_dir: str = "."
     plots_dir: str = "plots"
     visualizations_dir: str = "visualizations"
     train_visualizations_dir: str = "visualizations_train"
@@ -324,7 +326,13 @@ class TrainingConfig:
             decoder_mlp_dim=self.model.transformer_mlp_dim,
             mlp_hidden=self.model.hidden_dim,
             dropout=self.model.transformer_dropout,
-            trans_scale_factor=float(self.model.transformer_trans_scale_factor),
+            # 'separate' mode shrinks raw per-joint translation outputs
+            # (reference get_scale_trans_config, training_config.py:617)
+            trans_scale_factor=(
+                float(self.scale_trans_beta.separate_trans_scale_factor)
+                if self.scale_trans_beta.mode == "separate"
+                else float(self.model.transformer_trans_scale_factor)
+            ),
             # bf16 on TPU MXU unless mixed precision is disabled
             compute_dtype=jnp.bfloat16 if self.training.use_mixed_precision else jnp.float32,
             allow_mesh_scaling=self.mesh_scaling.allow_mesh_scaling,

@@ -1,0 +1,98 @@
+"""Multi-host launch wiring — the TPU-native replacement for the reference's
+DDP rendezvous machinery.
+
+The reference hand-builds an IPv4 ``dist.TCPStore`` + NCCL process group with
+SLURM/torchrun env detection (``train_multiview_regressor.py:131-253`` and
+launch detection ``:3134-3172``). On TPU pods all of that collapses to one
+call, ``jax.distributed.initialize()`` — JAX discovers the coordinator from
+the TPU metadata server (or ``JAX_COORDINATOR_ADDRESS``/SLURM env) and XLA
+runs the collectives over ICI/DCN. What remains framework work is:
+
+  * deciding WHEN to initialize (explicit ``--multihost`` flag or env
+    auto-detection, mirroring ``is_distributed_launch:114``);
+  * gating host-side side effects (checkpoint/viz/plot writes, logging) to
+    process 0, as the reference gates on ``rank == 0``;
+  * global-batch math: each host feeds its local shard of the global batch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+# env vars whose presence marks a managed multi-host launch (reference
+# is_distributed_launch checks RANK/WORLD_SIZE/SLURM_PROCID analogues)
+_MULTIHOST_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",   # explicit JAX rendezvous
+    "COORDINATOR_ADDRESS",
+    "SLURM_PROCID",              # SLURM launch
+    "TPU_WORKER_ID",             # GCE TPU pod VM metadata
+    "CLOUD_TPU_TASK_ID",
+)
+
+
+def detect_multihost_env(environ=None) -> bool:
+    """True when env vars indicate this process is part of a multi-host launch
+    (the reference's ``is_distributed_launch``, train_multiview_regressor.py:114-128)."""
+    env = os.environ if environ is None else environ
+    if env.get("SMILIFY_MULTIHOST", "").lower() in ("1", "true", "yes"):
+        return True
+    return any(v in env for v in _MULTIHOST_ENV_VARS)
+
+
+def maybe_initialize_multihost(flag: bool = False, environ=None) -> bool:
+    """Call ``jax.distributed.initialize()`` when requested by flag or env.
+
+    Returns True when distributed init ran. Safe to call before any other jax
+    API use (the reference's setup_ddp ordering contract). A second call in
+    the same process is a no-op.
+    """
+    if not (flag or detect_multihost_env(environ)):
+        return False
+    import jax
+
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return True
+        raise
+    print(f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+          f"{jax.local_device_count()} local of {jax.device_count()} global devices")
+    return True
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def is_primary() -> bool:
+    """True on process 0 — the only process that writes checkpoints, plots and
+    visualizations (reference ``rank == 0`` gating,
+    train_multiview_regressor.py:2661-2745)."""
+    return process_index() == 0
+
+
+def local_batch_size(global_batch_size: int, process_count: Optional[int] = None) -> int:
+    """Per-host slice of the global batch. Every host must feed the same
+    number of samples per step (static shapes under jit); the global batch is
+    rounded down to a multiple of the process count, minimum one per host."""
+    import jax
+
+    n = process_count if process_count is not None else jax.process_count()
+    return max(1, global_batch_size // n)
+
+
+def primary_only(fn):
+    """Decorator: run ``fn`` only on process 0, return None elsewhere."""
+
+    def wrapped(*a, **kw):
+        if not is_primary():
+            return None
+        return fn(*a, **kw)
+
+    wrapped.__name__ = getattr(fn, "__name__", "primary_only")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped

@@ -202,8 +202,13 @@ def epoch_visualization(
     epoch: int,
     multiview: bool = True,
     max_samples: int = 4,
+    viz_dir: str = "visualizations",
 ) -> Dict[str, float]:
     """One eval forward on a host batch → collages + 3D plot + IEF metrics.
+
+    ``viz_dir`` is the subdirectory of ``out_root`` to write into — trainers
+    pass ``cfg.output.train_visualizations_dir`` (reference keeps train-time
+    collages separate from inference visualizations).
 
     Returns the IEF delta-norm metrics so the trainer can log them into its
     history (plotted by plot_training_history alongside the losses)."""
@@ -216,9 +221,9 @@ def epoch_visualization(
     if pck is not None:
         metrics["ief_val_pck5"] = pck  # logged + plotted with the IEF curves
 
+    out_dir = os.path.join(out_root, viz_dir)
     render_epoch_collages(
-        spec, preds, batch, image_size,
-        os.path.join(out_root, "visualizations"), epoch,
+        spec, preds, batch, image_size, out_dir, epoch,
         max_samples=max_samples, multiview=multiview,
     )
     _, joints3d = _body_forward(spec, preds, 0)
@@ -226,7 +231,7 @@ def epoch_visualization(
     plot_3d_keypoints(
         np.asarray(joints3d),
         None if gt is None else np.asarray(gt[0]),
-        os.path.join(out_root, "visualizations", f"epoch{epoch:04d}_kp3d.png"),
+        os.path.join(out_dir, f"epoch{epoch:04d}_kp3d.png"),
         title=f"epoch {epoch}",
     )
     return metrics

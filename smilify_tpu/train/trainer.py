@@ -143,22 +143,26 @@ def make_train_step(
     @jax.jit
     def step(params, batch_stats, opt_state, batch):
         if accum_steps > 1:
+            # BN running stats advance per microbatch through the scan carry
+            # (reference updates BN under no_sync each microbatch,
+            # train_multiview_regressor.py:601-638).
             def micro(carry, mb):
-                g_acc, l_acc = carry
-                (loss, (objs, _)), grads = jax.value_and_grad(compute, has_aux=True)(
-                    params, batch_stats, mb
+                g_acc, l_acc, stats = carry
+                (loss, (objs, new_stats)), grads = jax.value_and_grad(compute, has_aux=True)(
+                    params, stats, mb
                 )
-                return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss), objs
+                return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss, new_stats), objs
 
             micro_batches = jax.tree.map(
                 lambda x: x.reshape((accum_steps, -1) + x.shape[1:]), batch
             )
             zero_grads = jax.tree.map(jnp.zeros_like, params)
-            (grads, loss), objs = jax.lax.scan(micro, (zero_grads, 0.0), micro_batches)
+            (grads, loss, new_stats), objs = jax.lax.scan(
+                micro, (zero_grads, 0.0, batch_stats), micro_batches
+            )
             grads = jax.tree.map(lambda g: g / accum_steps, grads)
             loss = loss / accum_steps
             objs = jax.tree.map(lambda x: x.mean(), objs)
-            new_stats = batch_stats
         else:
             (loss, (objs, new_stats)), grads = jax.value_and_grad(compute, has_aux=True)(
                 params, batch_stats, batch
@@ -205,6 +209,30 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, cfg: TrainingConfig, name:
             f, indent=2, default=str,
         )
     return path
+
+
+def end_of_epoch_outputs(out_dir: str, state: TrainState, cfg, epoch: int,
+                         last_epoch: bool, best_val: float) -> float:
+    """Reference checkpoint conventions (train_multiview_regressor.py:2661-2671):
+    a val-loss-selected ``best_model`` saved whenever validation improves,
+    rolling ``epoch_N`` + ``final_model`` on the ``save_checkpoint_every``
+    cadence, and history plots on their own ``plot_history_every`` cadence.
+    Checkpoints land in ``out_dir/cfg.output.checkpoint_dir`` (default ``"."``).
+    Returns the updated best validation loss."""
+    ckpt_dir = os.path.normpath(os.path.join(out_dir, cfg.output.checkpoint_dir))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    val = state.history[-1].get("val_loss") if state.history else None
+    if val is not None and val < best_val:
+        save_checkpoint(ckpt_dir, state, cfg, name="best_model")
+        print(f"epoch {epoch}: new best val_loss {val:.5f} -> best_model")
+        best_val = val
+    if (epoch + 1) % cfg.output.save_checkpoint_every == 0 or last_epoch:
+        save_checkpoint(ckpt_dir, state, cfg, name=f"epoch_{epoch}")
+        save_checkpoint(ckpt_dir, state, cfg, name="final_model")
+        print(f"checkpoint saved (epoch_{epoch} + final_model)")
+    if (epoch + 1) % cfg.output.plot_history_every == 0 or last_epoch:
+        plot_training_history(state.history, os.path.join(out_dir, cfg.output.plots_dir))
+    return best_val
 
 
 def load_checkpoint(ckpt_dir: str, abstract_state: Dict, name: str = "checkpoint"):

@@ -178,6 +178,27 @@ def test_geometric_jitter_reprojection_consistency():
     np.testing.assert_allclose(uv_reproj, uv_new, atol=1e-6)
 
 
+def test_crop_jitter_reprojection_consistency():
+    """Crop jitter shifts principal point + keypoints by the same offset, so
+    reprojection through the updated K stays exact."""
+    from smilify_tpu.data.augmentation import geometric_crop_jitter
+
+    rng = np.random.default_rng(11)
+    H = W = 64
+    f = 80.0
+    K = np.array([[f, 0, (W - 1) / 2], [0, f, (H - 1) / 2], [0, 0, 1.0]])
+    pts3d = np.random.RandomState(0).randn(10, 3) * 0.2 + [0, 0, 3.0]
+    uv = pts3d[:, :2] / pts3d[:, 2:3] * f + [(W - 1) / 2, (H - 1) / 2]
+
+    img = np.zeros((H, W, 3), np.float32)
+    p = AugmentationParams(geometric_enabled=True, crop_jitter_fraction=0.1)
+    _, K_new, uv_new = geometric_crop_jitter(img, K, rng, p, keypoints_xy=uv)
+
+    assert abs(K_new[0, 2] - K[0, 2]) > 0 or abs(K_new[1, 2] - K[1, 2]) > 0
+    uv_reproj = pts3d[:, :2] / pts3d[:, 2:3] * f + K_new[:2, 2]
+    np.testing.assert_allclose(uv_reproj, uv_new, atol=1e-6)
+
+
 def test_disabled_augmentation_is_identity():
     samples = _make_mv_samples(n=1)
     from smilify_tpu.data.hdf5_dataset import collate_multiview  # noqa
