@@ -41,6 +41,13 @@ def main(argv=None):
 
     dataset = open_dataset(args.dataset_path, joint_names=spec.joint_names,
                            image_size=res if not args.dataset_path.endswith(".h5") else None)
+    if not is_mv and "images" in dataset[0]:
+        # single-view model on a multi-view store: one view per item
+        # (reference single-view-from-multiview, sleap_multiview_dataset.py:298)
+        from smilify_tpu.data.hdf5_dataset import MultiViewHDF5Dataset
+
+        dataset = MultiViewHDF5Dataset(args.dataset_path, return_single_view=True,
+                                       expand_all_views=True)
     n = len(dataset) if args.max_samples is None else min(len(dataset), args.max_samples)
     print(f"benchmarking {n} samples ({'multi' if is_mv else 'single'}-view)")
 

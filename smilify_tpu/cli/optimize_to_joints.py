@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--texture", action="store_true",
                     help="rgb/texture collage: overlay the hard-Phong render "
                          "(reference rgb_only mode, fitter.py:57 + p3d_renderer.py:54-70)")
+    ap.add_argument("--approx-max-faces", type=int, default=None,
+                    help="work-list raster: per-tile z-nearest face cap "
+                         "(reference faces_per_pixel=100 approximation); "
+                         "default exact all-faces SoftRas")
     ap.add_argument("--load-checkpoint", default=None, metavar="DIR",
                     help="reload per-frame st{N}_ep{M}.pkl params from a previous run "
                          "(reference fitter.load_checkpoint, fitter.py:352-371)")
@@ -105,7 +109,8 @@ def main(argv=None):
         shape_prior = unity_shape_prior(args.unity_prior, n_betas=spec.n_betas)
 
     fitter = SmalFitter(spec, data, (H, W), allow_limb_scaling=args.limb_scaling,
-                        pose_prior=pose_prior, shape_prior=shape_prior)
+                        pose_prior=pose_prior, shape_prior=shape_prior,
+                        approx_max_faces=args.approx_max_faces)
 
     if args.load_checkpoint:
         from smilify_tpu.fitter.fitter import FitParams

@@ -98,6 +98,13 @@ def main(argv=None):
     )
     train_ds = SubsetDataset(dataset, tr_idx)
     val_ds = SubsetDataset(dataset, val_idx)
+    if cfg.training.cache_decoded_samples:
+        # decode-once cache UNDER the augmentation wrapper (augs resample per
+        # epoch; the cached sample is the clean decode)
+        from smilify_tpu.data.cache import DecodedSampleCache
+
+        train_ds = DecodedSampleCache(train_ds, max_bytes=cfg.training.cache_max_bytes)
+        val_ds = DecodedSampleCache(val_ds, max_bytes=cfg.training.cache_max_bytes)
     if cfg.augmentation.enabled:
         # on-the-fly train-split augmentation (reference augments inside the
         # dataset when augment=True; val/test stay clean)
@@ -191,6 +198,7 @@ def main(argv=None):
                                      collate=collate_multiview,
                                      num_workers=cfg.training.num_workers,
                                      prefetch=cfg.training.prefetch_factor,
+                                     worker_mode=cfg.training.worker_mode,
                                      skip_errors=True):
             # per-batch resilience: one bad sample (corrupt JPEG, NaN labels)
             # must not kill a long run (reference train_multiview_regressor.py:606)

@@ -141,6 +141,13 @@ def main(argv=None):
         tr_idx, val_idx, te_idx = split_dataset(len(dataset), ratios, cfg.training.seed)
     train_ds = SubsetDataset(dataset, tr_idx)
     val_ds = SubsetDataset(dataset, val_idx)
+    if cfg.training.cache_decoded_samples:
+        # decode-once cache UNDER the augmentation wrapper (augs resample per
+        # epoch; the cached sample is the clean decode)
+        from smilify_tpu.data.cache import DecodedSampleCache
+
+        train_ds = DecodedSampleCache(train_ds, max_bytes=cfg.training.cache_max_bytes)
+        val_ds = DecodedSampleCache(val_ds, max_bytes=cfg.training.cache_max_bytes)
     if cfg.augmentation.enabled:
         # on-the-fly train-split augmentation (reference augments inside the
         # dataset when augment=True; val/test stay clean)
@@ -281,6 +288,7 @@ def main(argv=None):
                                      fraction=cfg.dataset.dataset_fraction,
                                      num_workers=cfg.training.num_workers,
                                      prefetch=cfg.training.prefetch_factor,
+                                     worker_mode=cfg.training.worker_mode,
                                      skip_errors=True):
             # per-batch resilience (reference train_multiview_regressor.py:606)
             try:

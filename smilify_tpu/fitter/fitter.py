@@ -129,8 +129,12 @@ def forward_losses(
     allow_limb_scaling: bool = True,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    approx_max_faces: Optional[int] = None,
 ):
-    """Full loss over all frames. Returns (total, dict of weighted components)."""
+    """Full loss over all frames. Returns (total, dict of weighted components).
+
+    ``approx_max_faces`` opts into the work-list raster (z-nearest per-tile
+    face cap — the reference's faces_per_pixel=100 approximation)."""
     N = params.global_rot.shape[0]
     J = spec.n_joints
 
@@ -165,6 +169,7 @@ def forward_losses(
         sil_r = soft_silhouette(
             verts_ndc, spec.faces, image_size, znear=default_camera().znear,
             use_pallas=use_pallas, interpret=interpret,
+            approx_max_faces=approx_max_faces,
         )
 
     vis = (
@@ -232,6 +237,7 @@ class SmalFitter:
         allow_limb_scaling: bool = True,
         use_pallas: Optional[bool] = None,
         interpret: bool = False,
+        approx_max_faces: Optional[int] = None,
     ):
         self.spec = spec
         self.data = data
@@ -245,6 +251,7 @@ class SmalFitter:
         self.allow_limb_scaling = allow_limb_scaling
         self.use_pallas = use_pallas
         self.interpret = interpret
+        self.approx_max_faces = approx_max_faces
         self.n_frames = int(data.joints.shape[0])
         self.params = init_params(spec, self.n_frames, self.shape_prior)
 
@@ -297,6 +304,7 @@ class SmalFitter:
                     canonical_joints=self.canonical_joints,
                     allow_limb_scaling=self.allow_limb_scaling,
                     use_pallas=self.use_pallas, interpret=self.interpret,
+                    approx_max_faces=self.approx_max_faces,
                 )
                 tj, tg, tt = temporal_losses(p, weights.w_temp)
                 objs = dict(objs, temporal_joint=tj, temporal_global=tg, temporal_trans=tt)

@@ -438,6 +438,7 @@ def soft_silhouette(
     znear: float = 0.0,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    approx_max_faces: int | None = None,
 ) -> jnp.ndarray:
     """Soft silhouette from NDC vertices; alpha in [0, 1].
 
@@ -447,6 +448,12 @@ def soft_silhouette(
 
     ``use_pallas=None`` auto-selects: Pallas kernel on TPU, pure-JAX oracle
     elsewhere. Differentiable wrt ``verts_ndc`` either way.
+
+    ``approx_max_faces`` opts into the work-list kernel
+    (:mod:`rasterizer_worklist`): per 32x32 tile, only the z-nearest
+    ``approx_max_faces`` overlapping faces are rasterized — the
+    reference-faithful approximation (PyTorch3D keeps the 100 z-nearest faces
+    per pixel, ``p3d_renderer.py:47``). None = exact all-faces SoftRas.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -462,6 +469,13 @@ def soft_silhouette(
     vb = verts_ndc if batched else verts_ndc[None]
     tri = vb[:, faces]  # (N, F, 3, 3)
     valid = jnp.any(tri[..., 2] > znear, axis=-1)
-    S = _raster_S(tri[..., :2], valid, tuple(image_size), sigma, interpret)
+    if approx_max_faces is not None:
+        from smilify_tpu.render.rasterizer_worklist import raster_S_worklist
+
+        k_sub = max(1, _cdiv(approx_max_faces, FACE_GROUP))
+        S = raster_S_worklist(tri[..., :2], tri[..., 2], valid,
+                              tuple(image_size), sigma, k_sub, interpret)
+    else:
+        S = _raster_S(tri[..., :2], valid, tuple(image_size), sigma, interpret)
     alpha = 1.0 - jnp.exp(-S)
     return alpha if batched else alpha[0]

@@ -208,6 +208,13 @@ class TrainingHyperparameters:
     rotation_representation: str = "6d"
     num_workers: int = 8
     prefetch_factor: int = 4
+    # "thread" (GIL-releasing decode) or "process" (true parallelism on
+    # multi-core hosts; datasets are pickle-safe by design)
+    worker_mode: str = "thread"
+    # decode each training sample once and serve later epochs from RAM
+    # (bounded by cache_max_bytes; augmentation stays outside the cache)
+    cache_decoded_samples: bool = False
+    cache_max_bytes: int = 2 << 30
     resume_checkpoint: Optional[str] = None
     reset_ief_token_embedding: bool = False
     use_gt_camera_init: bool = True

@@ -256,6 +256,28 @@ def load_checkpoint(ckpt_dir: str, abstract_state: Dict, name: str = "checkpoint
 # ---------------------------------------------------------------------------
 
 
+# process-pool worker state: the dataset is shipped once per worker via the
+# pool initializer (fork shares pages copy-on-write; spawn pickles it — the
+# datasets are pure-numpy/pickle-safe by design, with lazy h5 handles)
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_load(args):
+    j, skip_errors = args
+    try:
+        return _WORKER_DATASET[j]
+    except Exception as e:  # noqa: BLE001 — per-sample resilience
+        if not skip_errors:
+            raise
+        print(f"warning: sample {j} failed to load ({type(e).__name__}: {e})")
+        return None
+
+
 def iterate_batches(
     dataset,
     batch_size: int,
@@ -267,14 +289,20 @@ def iterate_batches(
     num_workers: int = 0,
     prefetch: int = 2,
     skip_errors: bool = False,
+    worker_mode: str = "thread",
 ) -> Iterable[Dict[str, np.ndarray]]:
     """Host-side batcher with per-epoch fractional subsampling
     (reference create_fractional_train_loader, train_smil_regressor.py:420).
 
-    ``num_workers > 0`` loads samples through a thread pool with a bounded
-    look-ahead of ``prefetch`` batches (JPEG decode + augmentation release the
-    GIL in cv2/numpy) — the replacement for the reference's DataLoader worker
-    processes, keeping the TPU fed instead of starving on one core.
+    ``num_workers > 0`` loads samples through a worker pool with a bounded
+    look-ahead of ``prefetch`` batches — the replacement for the reference's
+    DataLoader workers (train_multiview_regressor.py:2415). ``worker_mode``:
+      * ``"thread"`` — JPEG decode + augmentation release the GIL in
+        cv2/numpy; zero serialization cost (default);
+      * ``"process"`` — true parallelism on multi-core hosts; the datasets
+        are pure-numpy/pickle-safe by design so they ship to workers safely
+        (and, deliberately, never touch jax — device work in a forked worker
+        would wedge the tunneled-TPU transport on this box).
     ``skip_errors`` drops samples whose load raises (per-sample resilience,
     reference train_multiview_regressor.py:606) — dropped slots are backfilled
     from the epoch's remaining indices so batch shapes stay static for jit.
@@ -314,17 +342,29 @@ def iterate_batches(
             yield assemble(buf)
         return
 
-    from concurrent.futures import ThreadPoolExecutor
+    if worker_mode == "process":
+        from concurrent.futures import ProcessPoolExecutor
+
+        pool = ProcessPoolExecutor(max_workers=num_workers,
+                                   initializer=_pool_init, initargs=(dataset,))
+        submit = lambda j: pool.submit(_pool_load, (j, skip_errors))  # noqa: E731
+    elif worker_mode == "thread":
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+        submit = lambda j: pool.submit(load, j)  # noqa: E731
+    else:
+        raise ValueError(f"unknown worker_mode '{worker_mode}'")
 
     lookahead = max(batch_size * max(1, prefetch), num_workers)
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        futures = deque(pool.submit(load, j) for j in idx[:lookahead])
+    with pool:
+        futures = deque(submit(j) for j in idx[:lookahead])
         pending = deque(idx[lookahead:])
         buf = []
         while futures:
             s = futures.popleft().result()
             if pending:
-                futures.append(pool.submit(load, pending.popleft()))
+                futures.append(submit(pending.popleft()))
             if s is None:
                 continue
             buf.append(s)

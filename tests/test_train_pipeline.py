@@ -147,3 +147,72 @@ def test_iterate_batches_workers_and_skip():
     rng = np.random.default_rng(0)
     got = list(iterate_batches(DS(9, bad=(0,)), 4, rng, shuffle=False, skip_errors=True))
     assert len(got) == 2
+
+
+def test_iterate_batches_process_pool():
+    """worker_mode='process' returns the same batches as the serial path
+    (datasets are pure-numpy/pickle-safe by design) and honors skip_errors."""
+    import numpy as np
+
+    from smilify_tpu.train.trainer import iterate_batches
+
+    class DS:
+        """Top-level-free picklable dataset (state is plain attributes)."""
+
+        def __init__(self, n, bad=()):
+            self.n, self.bad = n, tuple(bad)
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            if i in self.bad:
+                raise ValueError("corrupt sample")
+            return {"x": np.full((2,), i, np.float32)}
+
+    rng = np.random.default_rng(0)
+    serial = list(iterate_batches(DS(13), 4, rng, shuffle=False))
+    rng = np.random.default_rng(0)
+    procs = list(iterate_batches(DS(13), 4, rng, shuffle=False,
+                                 num_workers=2, worker_mode="process"))
+    assert len(serial) == len(procs) == 3
+    for a, b in zip(serial, procs):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+    rng = np.random.default_rng(0)
+    got = list(iterate_batches(DS(14, bad=(5,)), 4, rng, shuffle=False,
+                               num_workers=2, worker_mode="process",
+                               skip_errors=True))
+    seen = np.concatenate([b["x"][:, 0] for b in got])
+    assert len(seen) == 12 and 5.0 not in seen
+
+
+def test_decoded_sample_cache():
+    """Cache serves identical samples, decodes each index once, and respects
+    the byte budget."""
+    import numpy as np
+
+    from smilify_tpu.data.cache import DecodedSampleCache
+
+    calls = []
+
+    class DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            calls.append(i)
+            return {"x": np.full((8,), i, np.float32)}
+
+    ds = DecodedSampleCache(DS())
+    a = ds[2]
+    b = ds[2]
+    np.testing.assert_array_equal(a["x"], b["x"])
+    assert calls == [2]  # second access served from cache
+
+    # tiny budget: first sample cached, rest pass through every time
+    calls.clear()
+    small = DecodedSampleCache(DS(), max_bytes=40)
+    small[0]; small[1]; small[1]
+    assert calls == [0, 1, 1]
+    assert small.cache_info()["cached"] == 1

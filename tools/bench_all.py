@@ -98,7 +98,30 @@ def bench_fitter3d(spec):
             "target_verts": int(v.shape[0]), "samples": 3000}
 
 
-def bench_fitter_step(spec, n_frames=1):
+def measure_vpu_peak_gflops():
+    """Empirical VPU f32 FMA peak: a 64-deep fused multiply-add chain over a
+    large array is ~32 flops/byte — compute-bound on the VPU, so its rate IS
+    the practical ceiling for elementwise kernels. Used as the MFU
+    denominator (the raster is VPU-bound: no matmuls, all elementwise)."""
+    x = jnp.ones((2048, 2048), jnp.float32)
+
+    @jax.jit
+    def chain(x):
+        for _ in range(64):
+            x = x * 1.0000001 + 1e-9
+        return x
+
+    chain(x).block_until_ready()
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = chain(x)
+    x.block_until_ready()
+    dt = (time.perf_counter() - t0) / n
+    return 2 * 64 * x.size / dt / 1e9  # FMA = 2 flops
+
+
+def bench_fitter_step(spec, n_frames=1, approx_max_faces=None, vpu_peak_gflops=None):
     # same as bench.py, abbreviated
     import optax
 
@@ -124,7 +147,8 @@ def bench_fitter_step(spec, n_frames=1):
     opt_state = tx.init(params)
 
     def loss_fn(p):
-        total, _ = forward_losses(spec, p, data, weights, pp, lp, sp, (H, W))
+        total, _ = forward_losses(spec, p, data, weights, pp, lp, sp, (H, W),
+                                  approx_max_faces=approx_max_faces)
         tj, tg, tt = temporal_losses(p, weights.w_temp)
         return total + tj + tg + tt
 
@@ -168,13 +192,20 @@ def bench_fitter_step(spec, n_frames=1):
     active_groups = sum(bin(int(x)).count("1") for x in mask)
     tests = active_groups * R.FACE_GROUP * R.TILE_PIX
     flops = tests * 160  # fwd + bwd point-triangle work
-    return {"step_ms": dt * 1000, "iters_per_sec": 1 / dt,
-            "frame_iters_per_sec": n_frames / dt, "frames": n_frames,
-            "image": "512x512", "faces": int(spec.n_faces),
-            "raster_point_triangle_tests": int(tests),
-            "raster_achieved_gflops": round(flops / dt / 1e9, 1),
-            "roofline_note": "raster is VPU-bound elementwise work; "
-                             "saturation early-out skips part of these tests"}
+    out = {"step_ms": dt * 1000, "iters_per_sec": 1 / dt,
+           "frame_iters_per_sec": n_frames / dt, "frames": n_frames,
+           "image": "512x512", "faces": int(spec.n_faces),
+           "raster_mode": ("exact" if approx_max_faces is None
+                           else f"worklist_top{approx_max_faces}"),
+           "raster_point_triangle_tests": int(tests),
+           "raster_achieved_gflops": round(flops / dt / 1e9, 1),
+           "roofline_note": "raster is VPU-bound elementwise work; "
+                            "saturation early-out skips part of these tests"}
+    if vpu_peak_gflops:
+        # MFU against the MEASURED VPU FMA peak (not a spec-sheet number)
+        out["vpu_peak_gflops_measured"] = round(vpu_peak_gflops, 1)
+        out["raster_mfu_pct"] = round(100 * (flops / dt / 1e9) / vpu_peak_gflops, 1)
+    return out
 
 
 def bench_singleview_inference(spec):
@@ -249,10 +280,16 @@ def main():
     report["config1_smil_forward_stick"] = bench_forward(stick)
     print("2/5 fitter_3d chamfer registration ...", flush=True)
     report["config2_fitter3d_atta"] = bench_fitter3d(stick)
+    vpu_peak = measure_vpu_peak_gflops()
+    print(f"measured VPU FMA peak: {vpu_peak:.0f} GFLOP/s", flush=True)
     print("3/5 SMALFitter full step ...", flush=True)
-    report["config3_smalfitter_512"] = bench_fitter_step(stick)
+    report["config3_smalfitter_512"] = bench_fitter_step(stick, vpu_peak_gflops=vpu_peak)
     print("3b/5 SMALFitter windowed (WINDOW_SIZE=10) ...", flush=True)
-    report["config3b_smalfitter_512_window10"] = bench_fitter_step(stick, n_frames=10)
+    report["config3b_smalfitter_512_window10"] = bench_fitter_step(
+        stick, n_frames=10, vpu_peak_gflops=vpu_peak)
+    print("3c/5 SMALFitter windowed, work-list raster (top-800 z-nearest/tile) ...", flush=True)
+    report["config3c_smalfitter_512_window10_worklist"] = bench_fitter_step(
+        stick, n_frames=10, approx_max_faces=800, vpu_peak_gflops=vpu_peak)
     print("4/5 single-view inference ...", flush=True)
     report["config4_singleview_resnet50"] = bench_singleview_inference(stick)
     print("5a/5 multi-view 4-cam stick ...", flush=True)

@@ -1,0 +1,582 @@
+"""End-to-end fit-quality parity: our fitter vs the reference fitter.
+
+The north-star metric from BASELINE.json: fit the SAME bundled replicAnt
+sample with BOTH stacks under the SAME stage schedule, then compare the
+resulting silhouette IoU and joint PCK. The reference side runs the actual
+reference components where importable (its torch SMAL forward, its priors'
+math, its stage driver semantics ``optimize_to_joints.py:105-182``) plus a
+faithful torch implementation of PyTorch3D's soft-silhouette rasterizer
+(``p3d_renderer.py:41-52`` semantics — PyTorch3D itself cannot be installed
+here), reusing the machinery validated in measure_reference_baseline.py.
+
+torch and jax cannot share a process on this box, so the fight runs as
+subcommands in separate processes with a shared .npz data contract:
+
+  python tools/run_parity.py prepare    # numpy-only: sample -> parity_sample.npz
+  python tools/run_parity.py ours       # jax process  -> parity_ours.json
+  python tools/run_parity.py reference  # torch process -> parity_reference.json
+  python tools/run_parity.py report     # merge -> PARITY.json + PARITY.md
+
+Schedule: the reference OPT_WEIGHTS table (config.py:64-74) with stage
+iterations [600, 40, 60, 60] — stage 0 (camera/trans alignment, no raster)
+at full fidelity, raster stages scaled to 10% so the reference side finishes
+in ~1 h on this host's single CPU core (its full-resolution step measured
+413.9 s/iter at 512^2; parity runs at 128^2). Both sides use the identical
+table, identical data, identical init (head-on global rotation, mean betas).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+REFERENCE = "/root/reference"
+
+
+def sample_npz(sample: str) -> str:
+    return os.path.join(HERE, f"parity_sample_{sample}.npz")
+
+
+def side_json(side: str, sample: str) -> str:
+    return os.path.join(HERE, f"parity_{side}_{sample}.json")
+
+MODEL_PKL = os.path.join(REFERENCE, "3D_model_prep/SMILy_STICK.pkl")
+COCO_DIR = os.path.join(REFERENCE, "data/replicAnt_trials/SMIL_COCO")
+IMAGE_NAME = "SMIL_09_synth.jpg"
+SIZE = 128
+# stage iterations (see module docstring); weights/lr come from OPT_WEIGHTS
+STAGE_ITERS = (600, 40, 60, 60)
+TORSO_NAMES = ("b_a_1", "l_1_co_r", "l_1_co_l", "b_h", "ma_l", "ma_r")
+
+
+# ---------------------------------------------------------------------------
+# shared metric definition (pure numpy — both sides call this)
+# ---------------------------------------------------------------------------
+
+
+def fit_metrics(sil_pred, joints_pred_yx, sil_gt, joints_gt_yx, visibility):
+    """Silhouette IoU (alpha > 0.5) + PCK@{5,10}px + mean keypoint error over
+    visible joints — the benchmark definitions (reference benchmark_model.py)."""
+    p = np.asarray(sil_pred) > 0.5
+    g = np.asarray(sil_gt) > 0.5
+    inter = float(np.logical_and(p, g).sum())
+    union = float(np.logical_or(p, g).sum())
+    vis = np.asarray(visibility) > 0
+    err = np.linalg.norm(np.asarray(joints_pred_yx) - np.asarray(joints_gt_yx), axis=-1)[vis]
+    return {
+        "silhouette_iou": inter / max(union, 1.0),
+        "pck@5px": float((err <= 5.0).mean()),
+        "pck@10px": float((err <= 10.0).mean()),
+        "mean_kp_error_px": float(err.mean()),
+        "n_visible_joints": int(vis.sum()),
+    }
+
+
+def load_schedule():
+    """OPT_WEIGHTS rows as dicts (numpy-side: no jax import needed)."""
+    # values mirror reference config.py:64-74 / smilify_tpu.fitter.stages
+    table = [
+        dict(w_j2d=25.0, w_reproj=0.0, w_betas=0.0, w_pose=0.0, w_limit=0.0,
+             w_splay=0.0, w_temp=500.0, lr=9e-2),
+        dict(w_j2d=10.0, w_reproj=500.0, w_betas=1.0, w_pose=1.0, w_limit=100.0,
+             w_splay=0.1, w_temp=100.0, lr=5e-3),
+        dict(w_j2d=7.5, w_reproj=1000.0, w_betas=1.0, w_pose=1.0, w_limit=100.0,
+             w_splay=0.1, w_temp=100.0, lr=5e-4),
+        dict(w_j2d=5.0, w_reproj=1000.0, w_betas=1.0, w_pose=1.0, w_limit=100.0,
+             w_splay=0.1, w_temp=100.0, lr=2e-4),
+    ]
+    for s, it in zip(table, STAGE_ITERS):
+        s["iters"] = it
+    return table
+
+
+# ---------------------------------------------------------------------------
+# prepare (numpy only)
+# ---------------------------------------------------------------------------
+
+
+def _pkl_joint_names():
+    import pickle
+
+    with open(MODEL_PKL, "rb") as f:
+        dd = pickle.load(f, encoding="latin1")
+    return [str(n) for n in dd["J_names"]], dd
+
+
+def cmd_prepare():
+    """Real bundled sample (an ant — note: the reference's matching ant model
+    SMIL_OmniAnt.pkl is NOT in the snapshot, so BOTH sides fit with the stick
+    model; absolute IoU is capped by that model mismatch, the delta is the
+    parity signal)."""
+    sys.path.insert(0, REPO)
+    from smilify_tpu.data.loaders import load_smil_sequence
+
+    joint_names, _ = _pkl_joint_names()
+    (rgb, sil, joints, vis), names = load_smil_sequence(
+        COCO_DIR, IMAGE_NAME, SIZE, joint_names, use_crop=True
+    )
+    torso = [i for i, n in enumerate(joint_names) if n in TORSO_NAMES]
+    np.savez(
+        sample_npz("real"),
+        rgb=rgb[0], sil=sil[0], joints_yx=joints[0], visibility=vis[0],
+        torso_joints=np.asarray(torso, np.int64),
+        image_name=np.asarray(IMAGE_NAME), size=np.asarray(SIZE),
+    )
+    print(f"prepared {sample_npz('real')}: sil coverage {sil.mean():.4f}, "
+          f"{int((vis > 0).sum())} visible joints, torso={torso}")
+
+
+def cmd_prepare_synth():
+    """Synthetic round-trip GT generated by the REFERENCE torch stack (its
+    SMAL forward + the faithful PyTorch3D-semantics raster): a known pose is
+    rendered to a silhouette + projected joints. Zero model mismatch, zero
+    bias toward our stack — both fitters can in principle reach IoU ≈ 1.
+    (The reference's own test pattern: synthetic-ground-truth round trips,
+    test_triangulation_consistency.py.)"""
+    smal, ctx = _torch_setup()
+    import torch
+
+    rng = np.random.RandomState(42)
+    J = ctx["J"]
+    g0 = ctx["g0"]
+    gt_global = torch.from_numpy(g0 + rng.uniform(-0.15, 0.15, 3)).float()[None]
+    gt_joint = torch.from_numpy(rng.uniform(-0.06, 0.06, (1, J - 1, 3))).float()
+    gt_betas = ctx["mean_betas"][None] + torch.from_numpy(
+        rng.uniform(-0.5, 0.5, (1, ctx["B"]))).float() * 0.3
+    gt_trans = torch.tensor([[0.05, -0.03, 0.15]])
+    gt_fov = torch.tensor([55.0])
+
+    with torch.no_grad():
+        verts, joints3d, _, _ = smal(
+            gt_betas, torch.cat([gt_global[:, None], gt_joint], dim=1),
+            betas_logscale=torch.zeros(1, J, 3),
+        )
+        verts = verts + gt_trans[:, None]
+        joints3d = joints3d + gt_trans[:, None]
+        H = W = SIZE
+        ndc = ctx["camera_ndc"](verts[0], gt_fov[0])
+        _, alpha_chunk = ctx["soft_sil"](ndc, ctx["faces"], H, W)
+        P = H * W
+        alpha = torch.cat([alpha_chunk(lo, min(lo + 8192, P))
+                           for lo in range(0, P, 8192)]).reshape(H, W)
+        pj = ctx["project_yx"](joints3d[0], gt_fov[0])
+
+    joint_names, _ = _pkl_joint_names()
+    torso = [i for i, n in enumerate(joint_names) if n in TORSO_NAMES]
+    sil = (alpha.numpy() > 0.5).astype(np.float32)
+    np.savez(
+        sample_npz("synth"),
+        rgb=np.zeros((SIZE, SIZE, 3), np.float32),
+        sil=sil, joints_yx=pj.numpy().astype(np.float32),
+        visibility=np.ones(J, np.float32),
+        torso_joints=np.asarray(torso, np.int64),
+        image_name=np.asarray("synthetic_roundtrip_seed42"),
+        size=np.asarray(SIZE),
+        gt_fov=gt_fov.numpy(), gt_trans=gt_trans.numpy(),
+    )
+    print(f"prepared {sample_npz('synth')}: sil coverage {sil.mean():.4f}, fov 55")
+
+
+# ---------------------------------------------------------------------------
+# ours (jax process)
+# ---------------------------------------------------------------------------
+
+
+def cmd_ours(sample: str = "real"):
+    os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
+    sys.path.insert(0, REPO)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.spec import load_model_spec
+    from smilify_tpu.fitter.fitter import FitData, SmalFitter, render_frame
+    from smilify_tpu.fitter.stages import StageWeights
+    from smilify_tpu.render.cameras import default_camera
+
+    d = np.load(sample_npz(sample))
+    spec = load_model_spec(MODEL_PKL, align_symmetry=False)
+    data = FitData(
+        rgb=None,
+        sil=jnp.asarray(d["sil"][None]),
+        joints=jnp.asarray(d["joints_yx"][None]),
+        visibility=jnp.asarray(d["visibility"][None]),
+    )
+    fitter = SmalFitter(spec, data, (SIZE, SIZE))
+
+    schedule = [
+        StageWeights(s["w_j2d"], s["w_reproj"], s["w_betas"], s["w_pose"],
+                     s["w_limit"], s["w_splay"], s["w_temp"], s["iters"], s["lr"])
+        for s in load_schedule()
+    ]
+    t0 = time.perf_counter()
+    losses = fitter.fit(schedule=schedule)
+    wall = time.perf_counter() - t0
+
+    verts, joints3d = fitter.forward_frames()
+    cam = default_camera().replace(fov=fitter.params.fov[0])
+    # render_frame on one frame returns an unbatched (H, W) silhouette
+    sil_r, proj_yx = render_frame(spec, cam, verts[0], joints3d[0], (SIZE, SIZE))
+    m = fit_metrics(np.asarray(sil_r), np.asarray(proj_yx),
+                    d["sil"], d["joints_yx"], d["visibility"])
+    m.update(
+        side="ours",
+        sample=sample,
+        backend=jax.devices()[0].platform,
+        wall_seconds=wall,
+        total_iters=int(sum(STAGE_ITERS)),
+        iters_per_sec=sum(STAGE_ITERS) / wall,
+        final_stage_losses=[float(l) for l in losses],
+        final_fov=float(fitter.params.fov[0]),
+    )
+    with open(side_json("ours", sample), "w") as f:
+        json.dump(m, f, indent=2)
+    print(json.dumps(m, indent=2))
+
+
+# ---------------------------------------------------------------------------
+# reference (torch process)
+# ---------------------------------------------------------------------------
+
+
+def _torch_setup():
+    """Reference torch stack: SMAL, faithful raster, camera math, priors.
+    Shared by cmd_reference and cmd_prepare_synth."""
+    sys.path.insert(0, REFERENCE)
+    sys.path.insert(0, REPO)
+    import types
+
+    cfg = types.ModuleType("config")
+    cfg.SMAL_FILE = MODEL_PKL
+    cfg.DEBUG = False
+    cfg.ignore_sym = True
+    cfg.ignore_hardcoded_body = True
+    cfg.STATIC_JOINT_LOCATIONS = False
+    cfg.ALLOW_LIMB_SCALING = True
+    sys.modules["config"] = cfg
+
+    import torch
+
+    from smal_model.smal_torch import SMAL
+    from tools.measure_reference_baseline import soft_silhouette_reference_torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    smal = SMAL("cpu")
+    faces = smal.faces.long()
+    J = smal.J_regressor.shape[1]
+    B = smal.num_betas
+
+    # shape prior from the model file (reference fitter.py:170-175)
+    import pickle
+
+    with open(MODEL_PKL, "rb") as f:
+        dd = pickle.load(f, encoding="latin1")
+    cov = np.asarray(dd["shape_cov"], np.float64)
+    betas_prec = torch.from_numpy(
+        np.linalg.cholesky(np.linalg.inv(cov + 1e-5 * np.eye(cov.shape[0])))
+    ).float()
+    mean_betas = torch.from_numpy(np.asarray(dd["shape_mean_betas"], np.float64)).float()
+
+    # reference eul_to_axis (smal_fitter/utils.py:78-80) without its nibabel
+    # dependency (not installed here): R = Rz(ez) @ Ry(ey) @ Rx(ex) -> axis-angle
+    def _eul_to_axis(e):
+        ex, ey, ez = float(e[0]), float(e[1]), float(e[2])
+        cx, sx, cy, sy, cz, sz = (np.cos(ex), np.sin(ex), np.cos(ey),
+                                  np.sin(ey), np.cos(ez), np.sin(ez))
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        R = Rz @ Ry @ Rx
+        angle = np.arccos(np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0))
+        axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+        n = np.linalg.norm(axis)
+        return (axis / n * angle) if n > 1e-12 else np.zeros(3)
+
+    g0 = _eul_to_axis(np.array([-np.pi / 2, 0.0, -np.pi / 2]))
+
+    # camera: look_at_view_transform(2.7, 0, 0) -> R=diag(-1,1,-1), T=(0,0,2.7)
+    Rcam = torch.diag(torch.tensor([-1.0, 1.0, -1.0]))
+    Tcam = torch.tensor([0.0, 0.0, 2.7])
+    H = W = SIZE
+
+    def camera_ndc(points, fov_deg):
+        """Row-vector world->view + FoV perspective (PyTorch3D semantics,
+        mirrors smilify_tpu.render.cameras.FoVCamera validated vs fixtures)."""
+        pv = points @ Rcam + Tcam
+        tan_half = torch.tan(fov_deg * (np.pi / 180.0) / 2.0)
+        z = pv[..., 2].clamp_min(1e-3)
+        return torch.stack([pv[..., 0] / (tan_half * z),
+                            pv[..., 1] / (tan_half * z), z], dim=-1)
+
+    def project_yx(points, fov_deg):
+        ndc = camera_ndc(points, fov_deg)
+        s = min(H, W) / 2.0
+        x = (W - 1.0) / 2.0 - s * ndc[..., 0]
+        y = (H - 1.0) / 2.0 - s * ndc[..., 1]
+        return torch.stack([y, x], dim=-1)
+
+    return smal, dict(
+        faces=faces, J=J, B=B, betas_prec=betas_prec, mean_betas=mean_betas,
+        g0=g0, camera_ndc=camera_ndc, project_yx=project_yx,
+        soft_sil=soft_silhouette_reference_torch,
+    )
+
+
+def cmd_reference(sample: str = "real", max_seconds: float = 86400.0):
+    smal, ctx = _torch_setup()
+    import torch
+
+    d = np.load(sample_npz(sample))
+    H = W = int(d["size"])
+    sil_gt = torch.from_numpy(np.asarray(d["sil"], np.float32))
+    joints_gt = torch.from_numpy(np.asarray(d["joints_yx"], np.float32))
+    vis = torch.from_numpy(np.asarray(d["visibility"], np.float32))
+    torso = [int(i) for i in d["torso_joints"]]
+
+    faces = ctx["faces"]
+    J, B = ctx["J"], ctx["B"]
+    betas_prec, mean_betas = ctx["betas_prec"], ctx["mean_betas"]
+    camera_ndc, project_yx = ctx["camera_ndc"], ctx["project_yx"]
+    soft_silhouette_reference_torch = ctx["soft_sil"]
+
+    # params (reference fitter.py:181-231 init; head-on global rotation)
+    global_rot = torch.nn.Parameter(torch.from_numpy(ctx["g0"]).float()[None])
+    joint_rot = torch.nn.Parameter(torch.zeros(1, J - 1, 3))
+    betas = torch.nn.Parameter(mean_betas.clone()[None])
+    trans = torch.nn.Parameter(torch.zeros(1, 3))
+    fov = torch.nn.Parameter(torch.tensor([60.0]))
+    log_scales = torch.nn.Parameter(torch.zeros(1, J, 3), requires_grad=False)
+
+    target_flat = sil_gt.reshape(-1)
+    P = H * W
+    bwd_chunk = 8192
+
+    def forward_body():
+        verts, joints, _, _ = smal(
+            betas, torch.cat([global_rot[:, None], joint_rot], dim=1),
+            betas_logscale=log_scales,
+        )
+        return verts + trans[:, None], joints + trans[:, None]
+
+    def other_losses(joints3d, w, visibility):
+        pj = project_yx(joints3d[0], fov[0])
+        tj = joints_gt.clone()
+        m = visibility.bool()
+        pj = torch.where(m[:, None], pj, torch.full_like(pj, -1.0))
+        tj = torch.where(m[:, None], tj, torch.full_like(tj, -1.0))
+        objs = {"joint": w["w_j2d"] * torch.nn.functional.mse_loss(pj, tj)}
+        if w["w_limit"] > 0:
+            # ±0.01 ball joints (reference priors/joint_limits_prior.py)
+            z = torch.zeros_like(joint_rot)
+            objs["limit"] = w["w_limit"] * torch.mean(
+                torch.max(joint_rot - 0.01, z) + torch.max(-0.01 - joint_rot, z)
+            )
+        if w["w_pose"] > 0:
+            theta = torch.cat([global_rot[:, None], joint_rot], dim=1).reshape(1, -1)
+            mask = torch.ones_like(theta)
+            mask[:, :3] = 0.0
+            objs["pose"] = w["w_pose"] * ((theta * mask) ** 2).mean()
+        if w["w_splay"] > 0:
+            objs["splay"] = w["w_splay"] * torch.sum(joint_rot[:, :, (0, 2)] ** 2)
+        if w["w_betas"] > 0:
+            res = (betas - mean_betas[None]) @ betas_prec
+            objs["betas"] = w["w_betas"] * (res ** 2).mean()
+        return objs
+
+    schedule = load_schedule()
+    t_start = time.perf_counter()
+    stage_logs = []
+    for stage_id, w in enumerate(schedule):
+        params_rest = [global_rot, joint_rot, betas, trans]
+        opt = torch.optim.Adam(
+            [{"params": params_rest, "lr": w["lr"]}, {"params": [fov], "lr": 1.0}],
+            lr=w["lr"], betas=(0.5, 0.999),
+        )
+        # stage-0 freezing + torso-only visibility (optimize_to_joints.py:129-146)
+        joint_rot.requires_grad = stage_id != 0
+        betas.requires_grad = stage_id != 0
+        visibility = vis.clone()
+        if stage_id == 0:
+            keep = torch.zeros_like(vis)
+            keep[torso] = vis[torso]
+            visibility = keep
+
+        for it in range(w["iters"]):
+            opt.zero_grad()
+            verts, joints3d = forward_body()
+            sil_val = 0.0
+            if w["w_reproj"] > 0:
+                ndc = camera_ndc(verts[0], fov[0])
+                ndc_leaf = ndc.detach().requires_grad_(True)
+                _, alpha_chunk = soft_silhouette_reference_torch(ndc_leaf, faces, H, W)
+                for lo in range(0, P, bwd_chunk):
+                    hi = min(lo + bwd_chunk, P)
+                    a = alpha_chunk(lo, hi)
+                    part = w["w_reproj"] * (a - target_flat[lo:hi]).abs().sum() / P
+                    part.backward()
+                    sil_val += float(part)
+                objs = other_losses(joints3d, w, visibility)
+                loss = sum(objs.values()) + (ndc * ndc_leaf.grad).sum()
+            else:
+                objs = other_losses(joints3d, w, visibility)
+                loss = sum(objs.values())
+            loss.backward()
+            opt.step()
+            if it % 20 == 0 or it == w["iters"] - 1:
+                print(f"stage {stage_id} iter {it}/{w['iters']}: "
+                      f"loss {float(loss) + sil_val:.4f} (sil {sil_val:.4f}) "
+                      f"[{time.perf_counter()-t_start:.0f}s]", flush=True)
+            if time.perf_counter() - t_start > max_seconds:
+                print("time budget exceeded — stopping early", flush=True)
+                break
+        stage_logs.append(float(loss) + sil_val)
+    wall = time.perf_counter() - t_start
+
+    # final metrics: full-soft silhouette + projected joints
+    with torch.no_grad():
+        verts, joints3d = forward_body()
+        ndc = camera_ndc(verts[0], fov[0])
+        _, alpha_chunk = soft_silhouette_reference_torch(ndc, faces, H, W)
+        alpha = torch.cat([alpha_chunk(lo, min(lo + bwd_chunk, P))
+                           for lo in range(0, P, bwd_chunk)]).reshape(H, W)
+        pj = project_yx(joints3d[0], fov[0])
+    m = fit_metrics(alpha.numpy(), pj.numpy(), d["sil"], d["joints_yx"], d["visibility"])
+    m.update(
+        side="reference",
+        sample=sample,
+        backend="torch-cpu",
+        host_threads=torch.get_num_threads(),
+        wall_seconds=wall,
+        total_iters=int(sum(STAGE_ITERS)),
+        iters_per_sec=sum(STAGE_ITERS) / wall,
+        final_stage_losses=stage_logs,
+        final_fov=float(fov[0]),
+    )
+    with open(side_json("reference", sample), "w") as f:
+        json.dump(m, f, indent=2)
+    print(json.dumps(m, indent=2))
+
+
+# ---------------------------------------------------------------------------
+# report
+# ---------------------------------------------------------------------------
+
+
+def _pair_table(ours, ref):
+    dl = {
+        "silhouette_iou": ours["silhouette_iou"] - ref["silhouette_iou"],
+        "pck@5px": ours["pck@5px"] - ref["pck@5px"],
+        "pck@10px": ours["pck@10px"] - ref["pck@10px"],
+        "mean_kp_error_px": ours["mean_kp_error_px"] - ref["mean_kp_error_px"],
+        "speedup": ours["iters_per_sec"] / ref["iters_per_sec"],
+    }
+    md = f"""| metric | ours ({ours['backend']}) | reference (torch-cpu) | delta |
+|---|---|---|---|
+| silhouette IoU | {ours['silhouette_iou']:.4f} | {ref['silhouette_iou']:.4f} | {dl['silhouette_iou']:+.4f} |
+| PCK@5px | {ours['pck@5px']:.4f} | {ref['pck@5px']:.4f} | {dl['pck@5px']:+.4f} |
+| PCK@10px | {ours['pck@10px']:.4f} | {ref['pck@10px']:.4f} | {dl['pck@10px']:+.4f} |
+| mean kp error (px) | {ours['mean_kp_error_px']:.2f} | {ref['mean_kp_error_px']:.2f} | {dl['mean_kp_error_px']:+.2f} |
+| wall time (s) | {ours['wall_seconds']:.1f} | {ref['wall_seconds']:.1f} | {ours['wall_seconds']/max(ref['wall_seconds'],1e-9):.4f}x |
+| iters/sec | {ours['iters_per_sec']:.2f} | {ref['iters_per_sec']:.4f} | {dl['speedup']:.0f}x |
+"""
+    return dl, md
+
+
+def cmd_report():
+    out = {
+        "config": {
+            "model": os.path.basename(MODEL_PKL),
+            "image_size": SIZE,
+            "schedule_iters": list(STAGE_ITERS),
+            "schedule": "reference OPT_WEIGHTS (config.py:64-74), stage-1..3 iters at 10%",
+        },
+    }
+    sections = []
+    for sample, title, blurb in (
+        ("synth", "Synthetic round-trip (model-matched — the sharp test)",
+         "GT was generated by the REFERENCE torch stack itself (its SMAL "
+         "forward + the faithful raster) at a known pose, so the target is "
+         "exactly reachable by both fitters and the metric measures pure "
+         "fit quality with no model/data mismatch and no bias toward our "
+         "stack."),
+        ("real", f"Bundled replicAnt sample `{IMAGE_NAME}` (model-mismatched)",
+         "The bundled sample is an ant; the reference's matching ant model "
+         "(`SMIL_OmniAnt.pkl`, config.py:48) is NOT in the snapshot, so both "
+         "sides fit with the bundled stick-insect model. Absolute IoU is "
+         "capped by that mismatch (the thin stick body cannot cover the ant "
+         "body); the DELTA between the two fits is the parity signal."),
+    ):
+        try:
+            with open(side_json("ours", sample)) as f:
+                ours = json.load(f)
+            with open(side_json("reference", sample)) as f:
+                ref = json.load(f)
+        except FileNotFoundError:
+            continue
+        dl, md = _pair_table(ours, ref)
+        out[sample] = {"ours": ours, "reference": ref, "deltas": dl}
+        sections.append(f"## {title}\n\n{blurb}\n\n{md}")
+
+    with open(os.path.join(REPO, "PARITY.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+    md = f"""# PARITY — our fitter vs the reference fitter, same data, same schedule
+
+Both stacks fit the same {SIZE}x{SIZE} targets with the reference's
+OPT_WEIGHTS stage table (`config.py:64-74`), stage iterations
+{list(STAGE_ITERS)} (stage 0 — camera/trans alignment, no raster — at full
+fidelity; raster stages at 10% so the reference side finishes on this host's
+single CPU core), identical initialization (head-on global rotation, mean
+betas, fov 60).
+
+The reference side runs the reference's own torch SMAL forward and stage
+driver semantics (`optimize_to_joints.py:105-182`) with a faithful torch
+implementation of PyTorch3D's soft-silhouette rasterizer
+(`p3d_renderer.py:41-52`; PyTorch3D cannot be installed here) — the same
+stack that produced tools/reference_baseline.json.
+
+{chr(10).join(sections)}
+Metric definitions: IoU of the soft silhouette thresholded at 0.5 vs the GT
+mask; PCK@k = fraction of visible GT joints whose projected prediction lands
+within k px; both computed by the same numpy function on both sides
+(`tools/run_parity.py:fit_metrics`).
+
+Regenerate: for S in synth real: `python tools/run_parity.py prepare[-synth]
+&& python tools/run_parity.py ours --sample S && python tools/run_parity.py
+reference --sample S`; then `python tools/run_parity.py report`.
+"""
+    with open(os.path.join(REPO, "PARITY.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["prepare", "prepare-synth", "ours",
+                                    "reference", "report"])
+    ap.add_argument("--sample", choices=["real", "synth"], default="real")
+    ap.add_argument("--max-seconds", type=float, default=86400.0,
+                    help="reference-side wall-clock budget")
+    args = ap.parse_args()
+    if args.cmd == "prepare":
+        cmd_prepare()
+    elif args.cmd == "prepare-synth":
+        cmd_prepare_synth()
+    elif args.cmd == "ours":
+        cmd_ours(args.sample)
+    elif args.cmd == "reference":
+        cmd_reference(args.sample, args.max_seconds)
+    else:
+        cmd_report()
+
+
+if __name__ == "__main__":
+    main()
