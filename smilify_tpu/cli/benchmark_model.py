@@ -86,7 +86,8 @@ def main(argv=None):
             vm = jnp.asarray(np.stack([s["view_mask"] for s in samples]))
             cids = jnp.asarray(np.stack([s["camera_indices"] for s in samples]))
             kp_pred, j3d_pred = predict_mv(imgs, vm, cids)
-            gt2d = np.stack([s["keypoints_2d"] for s in samples]) / res
+            # store pixel (x, y) → normalized (y, x)
+            gt2d = np.stack([s["keypoints_2d"] for s in samples])[..., ::-1] / res
             vis = np.stack([s["keypoint_visibility"] for s in samples])
             vis = vis * np.stack([s["view_mask"] for s in samples])[..., None]
             acc.add_2d(np.asarray(kp_pred), gt2d, vis, res)

@@ -322,9 +322,15 @@ class MultiViewHDF5Dataset:
         size = f["multiview_keypoints/image_sizes"][s, v].astype(np.int32)
         kp3d = f["multiview_keypoints/keypoints_3d"][s].astype(np.float64) * ws
 
+        # multiview stores hold pixel (x, y) keypoints; single-view consumers
+        # (loss engine, benchmark, viz) use the normalized (y, x) convention
+        # (models/regressor.py:311) — convert at the boundary
+        kp_px = f["multiview_keypoints/keypoints_2d"][s, v].astype(np.float32)
+        Hc, Wc = img.shape[0], img.shape[1]
+        kp_norm_yx = np.stack([kp_px[:, 1] / Hc, kp_px[:, 0] / Wc], axis=-1)
         sample = {
             "image": img,
-            "keypoints_2d": f["multiview_keypoints/keypoints_2d"][s, v].astype(np.float32),
+            "keypoints_2d": kp_norm_yx,
             "keypoint_visibility":
                 f["multiview_keypoints/keypoint_visibility"][s, v].astype(np.float32),
             "has_3d_data": bool(f["auxiliary/has_3d_data"][s]),

@@ -95,7 +95,11 @@ def make_multiview_loss_fn(spec, rcfg, weights: Dict[str, float],
             "joint_rot": batch["joint_rot"],
             "betas": batch["betas"][..., : spec.n_betas],
             "trans": batch["trans"],
-            "keypoints_2d": batch["keypoints_2d"] / jnp.asarray([H, W], jnp.float32),
+            # store convention is pixel (x, y) (project_world_to_pixel;
+            # validated in test_train_pipeline); the loss engine expects
+            # normalized (y, x) (multiview.py:284) — swap axes THEN normalize
+            "keypoints_2d": batch["keypoints_2d"][..., ::-1]
+            / jnp.asarray([H, W], jnp.float32),
             "kp_visibility": vis,
             "keypoints_3d": batch["keypoints_3d"],
             **gt_cams,

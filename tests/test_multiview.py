@@ -166,3 +166,48 @@ def test_ignored_joints_change_keypoint_loss(stick_spec):
         "ignored_joints.ignored_joint_names": [name],
     }, mode="multi_view")
     assert resolve_ignored_joint_indices(tcfg, spec.joint_names) == [5]
+
+
+def test_stored_dataset_gt_kp2d_loss_zero(stick_spec, tmp_path):
+    """The STORE-to-LOSS convention chain: a written multiview HDF5 dataset,
+    read back and fed through make_multiview_loss_fn with predictions set to
+    the stored GT (body params + converted GT cameras), must yield ~0 2D
+    keypoint loss. Pins the pixel-(x,y)-store -> normalized-(y,x)-loss
+    conversion end-to-end (the round-3 axis-swap regression)."""
+    import jax.numpy as jnp
+
+    from smilify_tpu.data.hdf5_dataset import MultiViewHDF5Dataset, collate_multiview
+    from smilify_tpu.data.synthetic import generate_synthetic_multiview
+    from smilify_tpu.models.multiview import MULTIVIEW_DEFAULT_LOSS_WEIGHTS
+    from smilify_tpu.train.multiview_setup import batch_to_view_cams, make_multiview_loss_fn
+
+    spec = stick_spec
+    h5 = str(tmp_path / "conv.h5")
+    generate_synthetic_multiview(spec, h5, n_samples=2, n_views=3, resolution=64,
+                                 render_images=False, seed=3)
+    ds = MultiViewHDF5Dataset(h5)
+    batch = collate_multiview([ds[0], ds[1]])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if isinstance(v, np.ndarray)}
+    H = W = 64
+
+    cams = batch_to_view_cams(batch, (H, W))
+    preds = {
+        "global_rot": batch["global_rot"],
+        "joint_rot": batch["joint_rot"],
+        "betas": batch["betas"][..., : spec.n_betas],
+        "trans": batch["trans"],
+        **cams,
+        "view_fov_raw": cams["view_fov"],
+    }
+
+    from smilify_tpu.models.multiview import MultiViewConfig
+
+    cfg = MultiViewConfig(n_pose=spec.n_joints - 1, n_betas=spec.n_betas,
+                          n_joints=spec.n_joints, max_views=3)
+    w = {k: 0.0 for k in MULTIVIEW_DEFAULT_LOSS_WEIGHTS}
+    w["keypoint_2d"] = 1.0
+    loss_fn = make_multiview_loss_fn(spec, cfg, w, (H, W))
+    total, objs = loss_fn(preds, batch)
+    # sub-pixel agreement: normalized MSE well under (1px/64)^2
+    assert float(objs["keypoint_2d"]) < 2.5e-4, float(objs["keypoint_2d"])

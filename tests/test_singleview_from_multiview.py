@@ -56,7 +56,9 @@ def test_expand_all_views_flat_index(synth_h5):
 
 def test_model_centric_reprojection(synth_h5):
     """Stored per-view camera params must reproject the shared 3D keypoints
-    onto the stored 2D keypoints."""
+    onto the sample's 2D keypoints — which the single-view reader exposes in
+    the single-view convention: NORMALIZED (y, x) (models/regressor.py:311;
+    the store itself keeps pixel (x, y))."""
     from smilify_tpu.data.hdf5_dataset import MultiViewHDF5Dataset
 
     sv = MultiViewHDF5Dataset(synth_h5, return_single_view=True, expand_all_views=True)
@@ -67,8 +69,7 @@ def test_model_centric_reprojection(synth_h5):
         vis = s["keypoint_visibility"] > 0
         if vis.sum() == 0:
             continue
-        got_xy = yx[vis][:, ::-1]
-        np.testing.assert_allclose(got_xy, s["keypoints_2d"][vis], atol=0.1)
+        np.testing.assert_allclose(yx[vis] / R, s["keypoints_2d"][vis], atol=0.1 / R)
 
 
 def test_camera_centric_identity_camera_and_reprojection(synth_h5):
@@ -82,11 +83,12 @@ def test_camera_centric_identity_camera_and_reprojection(synth_h5):
         # the camera is exactly the renderer identity
         np.testing.assert_allclose(s["cam_rot"].reshape(3, 3), np.eye(3), atol=1e-6)
         np.testing.assert_allclose(s["cam_trans"], 0.0, atol=1e-6)
-        # reprojection through the identity camera matches the stored 2D
+        # reprojection through the identity camera matches the sample's
+        # normalized (y, x) 2D keypoints
         R = s["image"].shape[0]
         yx = _reproject_yx(s, (R, R))
         vis = s["keypoint_visibility"] > 0
-        np.testing.assert_allclose(yx[vis][:, ::-1], s["keypoints_2d"][vis], atol=0.1)
+        np.testing.assert_allclose(yx[vis] / R, s["keypoints_2d"][vis], atol=0.1 / R)
         # the transform is rigid: pairwise keypoint distances preserved
         a, b = s["keypoints_3d"], svm[i]["keypoints_3d"]
         nz = ~np.all(a == 0, axis=1) & ~np.all(b == 0, axis=1)

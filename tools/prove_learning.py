@@ -35,7 +35,7 @@ MODEL_PKL = "/root/reference/3D_model_prep/SMILy_STICK.pkl"
 _PROOF_WEIGHTS = (
     'loss_curriculum.base_weights={"global_rot":1.0,"joint_rot":1.0,'
     '"betas":0.3,"trans":0.3,"fov":0.01,"cam_rot":2.0,"cam_trans":2.0,'
-    '"log_beta_scales":0.1,"betas_trans":0.1,"keypoint_2d":0.0,'
+    '"log_beta_scales":0.1,"betas_trans":0.1,"keypoint_2d":0.05,'
     '"keypoint_3d":0.0,"silhouette":0.0,"joint_angle_regularization":0.0,'
     '"limb_scale_regularization":0.0,"limb_trans_regularization":0.0}'
 )
