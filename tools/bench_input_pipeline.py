@@ -130,14 +130,42 @@ def main():
     t_serial = run_epoch(loader_iter(0))
     t_threaded = run_epoch(loader_iter(args.workers))
 
+    # process pool (true parallelism on multi-core hosts; on this 1-core box
+    # it measures the serialization floor)
+    def loader_iter_proc(workers):
+        while True:
+            for b in iterate_batches(ds, args.batch, rng, num_workers=workers,
+                                     worker_mode="process"):
+                yield _clean(b)
+
+    n_proc = min(args.workers, max(1, (os.cpu_count() or 1)))
+    t_process = run_epoch(loader_iter_proc(n_proc))
+
+    # decode-once RAM cache: first epoch pays decode, later epochs serve from
+    # memory — the steady-state loader cost for multi-epoch training
+    from smilify_tpu.data.cache import DecodedSampleCache
+
+    cached = DecodedSampleCache(ds, eager=True)
+
+    def cached_iter():
+        while True:
+            for b in iterate_batches(cached, args.batch, rng):
+                yield _clean(b)
+
+    t_cached = run_epoch(cached_iter())
+
     out = {
         "batch": args.batch,
         "resolution": args.res,
         "dataset": ds_kind,
+        "host_cores": os.cpu_count(),
         "synthetic_step_ms": round(t_synth * 1000, 2),
         "loader_serial_step_ms": round(t_serial * 1000, 2),
         f"loader_{args.workers}workers_step_ms": round(t_threaded * 1000, 2),
+        f"loader_{n_proc}procs_step_ms": round(t_process * 1000, 2),
+        "loader_cached_step_ms": round(t_cached * 1000, 2),
         "overhead_vs_synthetic_pct": round(100 * (t_threaded / t_synth - 1), 1),
+        "cached_overhead_vs_synthetic_pct": round(100 * (t_cached / t_synth - 1), 1),
     }
     print(json.dumps(out, indent=2))
     path = os.path.join(os.path.dirname(__file__), "input_pipeline_bench.json")
