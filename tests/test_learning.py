@@ -12,11 +12,11 @@ import pytest
 
 @pytest.mark.slow
 def test_singleview_learns_to_memorize(tmp_path):
-    import sys
-
-    sys.path.insert(0, str(tmp_path))  # isolation for any relative artifacts
+    """~20 min on the TPU backend (600 epochs of the tiny memorization
+    config). Tuned run reaches loss ratio ~1900x, PCK@5 0.85, PCK@10 0.94;
+    gates are 20x / 0.7 / 0.9 (see tools/prove_learning.py for why)."""
     from tools.prove_learning import run
 
-    r = run("sv", epochs=300, workdir=str(tmp_path), lr=1e-3)
+    r = run("sv", epochs=600, workdir=str(tmp_path), lr=1e-3)
     assert r["loss_ok"], f"loss did not collapse: {r}"
-    assert r["pck_ok"], f"PCK@5px below target: {r}"
+    assert r["pck_ok"], f"PCK below target: {r}"
