@@ -4,8 +4,9 @@ Trains the single-view and multi-view regressors to memorization on a small
 synthetic ground-truth dataset (images rendered from known SMIL parameters),
 then asserts via the benchmark harness that
 
-  * training loss decreased >= 5x from epoch 0, and
-  * PCK@5px >= 0.9 on the training samples.
+  * training loss decreased >= 20x from epoch 0, and
+  * PCK@5px >= 0.7 AND PCK@10px >= 0.9 on the training samples
+    (see the threshold rationale note in ``run``).
 
 A silently-broken gradient path (e.g. through the camera heads) caps PCK far
 below that, so this run fails loudly — the learning analogue of the GT-zero
