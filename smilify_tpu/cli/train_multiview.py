@@ -55,6 +55,7 @@ def main(argv=None):
         make_multiview_loss_fn,
     )
     from smilify_tpu.train.trainer import (
+        StagingCollator,
         TrainState,
         build_optimizer,
         data_mesh,
@@ -155,6 +156,10 @@ def main(argv=None):
     ignored_idx = resolve_ignored_joint_indices(cfg, spec.joint_names)
 
     host_rng = np.random.default_rng(cfg.training.seed)
+    # persistent staging buffers: avoids the tunneled-TPU per-batch
+    # alloc/free pinning penalty (see StagingCollator)
+    staging = StagingCollator()  # collate_multiview is a plain stack — the
+    # default staging path does the same thing minus the extra allocation
     state = TrainState(params=replicate(mesh, params), batch_stats=replicate(mesh, batch_stats),
                        opt_state=None)
     state, start_epoch = try_resume(
@@ -195,7 +200,7 @@ def main(argv=None):
         losses = []
         skipped = 0
         for batch in iterate_batches(train_ds, bs, host_rng, fraction=cfg.dataset.dataset_fraction,
-                                     collate=collate_multiview,
+                                     collate=staging,
                                      num_workers=cfg.training.num_workers,
                                      prefetch=cfg.training.prefetch_factor,
                                      worker_mode=cfg.training.worker_mode,

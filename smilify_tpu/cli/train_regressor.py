@@ -98,6 +98,7 @@ def main(argv=None):
     )
     from smilify_tpu.train.config import load_config, resolve_model_spec
     from smilify_tpu.train.trainer import (
+        StagingCollator,
         TrainState,
         build_optimizer,
         data_mesh,
@@ -215,6 +216,9 @@ def main(argv=None):
         return preds, new_stats
 
     host_rng = np.random.default_rng(cfg.training.seed)
+    # persistent staging buffers: avoids the tunneled-TPU per-batch
+    # alloc/free pinning penalty (see StagingCollator)
+    staging = StagingCollator()
     state = TrainState(params=replicate(mesh, params), batch_stats=replicate(mesh, batch_stats),
                        opt_state=None)
     state, start_epoch = try_resume(
@@ -286,6 +290,7 @@ def main(argv=None):
         skipped = 0
         for batch in iterate_batches(train_ds, bs, host_rng,
                                      fraction=cfg.dataset.dataset_fraction,
+                                     collate=staging,
                                      num_workers=cfg.training.num_workers,
                                      prefetch=cfg.training.prefetch_factor,
                                      worker_mode=cfg.training.worker_mode,

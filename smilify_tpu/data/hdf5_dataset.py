@@ -280,6 +280,10 @@ class MultiViewHDF5Dataset:
             self._file = h5py.File(self.path, "r")
         return self._file
 
+    def __getstate__(self):
+        # open h5py handles can't pickle — spawn workers reopen lazily
+        return {**self.__dict__, "_file": None}
+
     def __len__(self):
         if self.return_single_view and self.expand_all_views:
             return len(self._sv_items)
@@ -467,6 +471,10 @@ class SingleViewHDF5Dataset:
         if self._file is None:
             self._file = h5py.File(self.path, "r")
         return self._file
+
+    def __getstate__(self):
+        # open h5py handles can't pickle — spawn workers reopen lazily
+        return {**self.__dict__, "_file": None}
 
     def __len__(self):
         return self.num_samples

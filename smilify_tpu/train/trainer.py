@@ -278,6 +278,67 @@ def _pool_load(args):
         return None
 
 
+class StagingCollator:
+    """Collate into a ring of persistent preallocated host buffers.
+
+    The tunneled-TPU transport pins host pages per transferred buffer and
+    unpins them synchronously when the array is freed — measured on this box:
+    a 4.8 MB batch costs ~3.5 ms/step when its host buffer stays alive but
+    40-220 ms/step when each step's batch is freshly allocated and freed.
+    Reusing a small ring of long-lived buffers removes that churn entirely
+    (the TPU analogue of the reference DataLoader's ``pin_memory=True``,
+    train_multiview_regressor.py:2415).
+
+    The returned dicts alias the ring: a batch is valid until ``depth - 1``
+    further batches have been produced, so ``depth`` must exceed the number
+    of batches in flight (consumer look-ahead + 1). The training loops here
+    consume each batch before requesting the next, so the default is ample.
+    Mismatched shapes/dtypes (e.g. a ragged final batch) fall back to a
+    fresh ``np.stack`` for that batch.
+    """
+
+    def __init__(self, depth: int = 4, inner: Callable = None):
+        self.depth = depth
+        self.inner = inner  # optional sample-list collate to run first
+        self._ring = []  # slot -> {key: buffer}
+        self._slot = 0
+
+    def __call__(self, samples):
+        if self.inner is not None:
+            cols = {k: [np.asarray(v)]
+                    for k, v in self.inner(samples).items()}  # pre-batched
+            lead = ()
+        else:
+            keys = samples[0].keys()
+            cols = {k: [np.asarray(s[k]) for s in samples] for k in keys}
+            lead = (len(samples),)
+        if not self._ring:
+            # shapes fixed by the first batch; later mismatches fall back
+            self._shapes = {k: lead + c[0].shape for k, c in cols.items()}
+            self._dtypes = {k: c[0].dtype for k, c in cols.items()}
+            self._ring = [
+                {k: np.empty(self._shapes[k], self._dtypes[k]) for k in self._shapes}
+                for _ in range(self.depth)
+            ]
+        ok = set(cols) == set(self._shapes) and all(
+            lead + c[0].shape == self._shapes[k] and c[0].dtype == self._dtypes[k]
+            and (not lead or len(c) == lead[0])
+            for k, c in cols.items()
+        )
+        if not ok:
+            return {k: c[0] if not lead else np.stack(c) for k, c in cols.items()}
+        bufs = self._ring[self._slot]
+        self._slot = (self._slot + 1) % self.depth
+        for k, c in cols.items():
+            buf = bufs[k]
+            if lead:
+                for j, a in enumerate(c):
+                    buf[j] = a
+            else:
+                buf[...] = c[0]
+        return bufs
+
+
 def iterate_batches(
     dataset,
     batch_size: int,
@@ -343,9 +404,15 @@ def iterate_batches(
         return
 
     if worker_mode == "process":
+        import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 
+        # spawn, not fork: the trainer process has jax (and its threads)
+        # initialized — fork would copy that state into workers (deadlock
+        # risk; os.fork is incompatible with multithreaded jax). Spawn
+        # pickles the dataset into clean interpreters instead.
         pool = ProcessPoolExecutor(max_workers=num_workers,
+                                   mp_context=mp.get_context("spawn"),
                                    initializer=_pool_init, initargs=(dataset,))
         submit = lambda j: pool.submit(_pool_load, (j, skip_errors))  # noqa: E731
     elif worker_mode == "thread":

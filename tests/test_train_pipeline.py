@@ -149,27 +149,31 @@ def test_iterate_batches_workers_and_skip():
     assert len(got) == 2
 
 
+class _PicklableDS:
+    """Module-level so spawn workers can unpickle it (function-local classes
+    cannot ship to spawned interpreters)."""
+
+    def __init__(self, n, bad=()):
+        self.n, self.bad = n, tuple(bad)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if i in self.bad:
+            raise ValueError("corrupt sample")
+        return {"x": np.full((2,), i, np.float32)}
+
+
 def test_iterate_batches_process_pool():
-    """worker_mode='process' returns the same batches as the serial path
-    (datasets are pure-numpy/pickle-safe by design) and honors skip_errors."""
+    """worker_mode='process' (spawn context — forking a jax process is a
+    deadlock risk) returns the same batches as the serial path and honors
+    skip_errors."""
     import numpy as np
 
     from smilify_tpu.train.trainer import iterate_batches
 
-    class DS:
-        """Top-level-free picklable dataset (state is plain attributes)."""
-
-        def __init__(self, n, bad=()):
-            self.n, self.bad = n, tuple(bad)
-
-        def __len__(self):
-            return self.n
-
-        def __getitem__(self, i):
-            if i in self.bad:
-                raise ValueError("corrupt sample")
-            return {"x": np.full((2,), i, np.float32)}
-
+    DS = _PicklableDS
     rng = np.random.default_rng(0)
     serial = list(iterate_batches(DS(13), 4, rng, shuffle=False))
     rng = np.random.default_rng(0)
@@ -216,3 +220,53 @@ def test_decoded_sample_cache():
     small[0]; small[1]; small[1]
     assert calls == [0, 1, 1]
     assert small.cache_info()["cached"] == 1
+
+
+def test_staging_collator():
+    """Staging collator yields batches numerically identical to np.stack,
+    reuses its ring buffers (no per-batch allocation — the tunneled-TPU
+    pin/unpin churn fix), and falls back to a fresh stack on ragged batches."""
+    import numpy as np
+
+    from smilify_tpu.train.trainer import StagingCollator, iterate_batches
+
+    class DS:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.float32),
+                    "y": np.full((2, 2), -i, np.int32)}
+
+    rng = np.random.default_rng(0)
+    plain = list(iterate_batches(DS(), 4, rng, shuffle=False))
+    rng = np.random.default_rng(0)
+    staging = StagingCollator(depth=3)
+    staged = []
+    bufs = []
+    for b in iterate_batches(DS(), 4, rng, shuffle=False, collate=staging):
+        bufs.append(b["x"])
+        staged.append({k: v.copy() for k, v in b.items()})  # snapshot
+    assert len(staged) == len(plain) == 2
+    for p, s in zip(plain, staged):
+        for k in p:
+            np.testing.assert_array_equal(p[k], s[k])
+            assert p[k].dtype == s[k].dtype
+
+    # ring reuse: with depth 3, batch 0 and batch 3 share the same buffer
+    staging2 = StagingCollator(depth=3)
+    samples = [{"x": np.full((3,), i, np.float32)} for i in range(4)]
+    out = [staging2(samples) for _ in range(4)]
+    assert out[0]["x"] is out[3]["x"]
+    assert out[0]["x"] is not out[1]["x"]
+
+    # ragged final batch falls back to a fresh stack (no shape clash)
+    ragged = staging2(samples[:2])
+    assert ragged["x"].shape == (2, 3)
+    assert ragged["x"] is not out[0]["x"]
+
+    # drop_last=False path produces the ragged batch through iterate_batches
+    rng = np.random.default_rng(0)
+    allb = list(iterate_batches(DS(), 4, rng, shuffle=False, drop_last=False,
+                                collate=StagingCollator(depth=2)))
+    assert [b["x"].shape[0] for b in allb] == [4, 4, 3]
