@@ -25,7 +25,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
@@ -78,14 +77,19 @@ def main(argv=None):
         kp2d = project_through_view_cameras(preds, joints3d, (res, res))
         return kp2d, joints3d
 
+    from smilify_tpu.train.trainer import StagingCollator
+
     bs = args.batch_size
+    # persistent staging buffers for device-bound arrays (tunneled-TPU
+    # per-batch alloc/free pinning penalty — see StagingCollator)
+    staging = StagingCollator()
+    dev_keys = ("images", "view_mask", "camera_indices") if is_mv else ("image",)
     for i in range(0, n, bs):
         samples = [dataset[j] for j in range(i, min(n, i + bs))]
+        dev = staging([{k: s[k] for k in dev_keys} for s in samples])
         if is_mv:
-            imgs = jnp.asarray(np.stack([s["images"] for s in samples]))
-            vm = jnp.asarray(np.stack([s["view_mask"] for s in samples]))
-            cids = jnp.asarray(np.stack([s["camera_indices"] for s in samples]))
-            kp_pred, j3d_pred = predict_mv(imgs, vm, cids)
+            kp_pred, j3d_pred = predict_mv(dev["images"], dev["view_mask"],
+                                           dev["camera_indices"])
             # store pixel (x, y) → normalized (y, x)
             gt2d = np.stack([s["keypoints_2d"] for s in samples])[..., ::-1] / res
             vis = np.stack([s["keypoint_visibility"] for s in samples])
@@ -96,8 +100,7 @@ def main(argv=None):
                 gt3d = np.stack([s["keypoints_3d"] for s in samples])
                 acc.add_3d(np.asarray(j3d_pred)[has3d], gt3d[has3d])
         else:
-            imgs = jnp.asarray(np.stack([s["image"] for s in samples]))
-            kp_pred, j3d_pred = predict_sv(imgs)
+            kp_pred, j3d_pred = predict_sv(dev["image"])
             gt2d = np.stack([s["keypoints_2d"] for s in samples])
             vis = np.stack([s["keypoint_visibility"] for s in samples])
             acc.add_2d(np.asarray(kp_pred), gt2d, vis, res)

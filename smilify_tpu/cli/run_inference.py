@@ -171,19 +171,23 @@ def main(argv=None):
         (raw, _), _ = model.apply(variables, batch_imgs, train=False, mutable=["batch_stats"])
         return decode_predictions(rcfg, raw, spec)
 
+    from smilify_tpu.train.trainer import StagingCollator
+
     all_preds = []
     bs = args.batch_size
+    # persistent staging buffers: long video runs would otherwise pay the
+    # tunneled-TPU per-batch alloc/free pinning penalty (see StagingCollator)
+    staging = StagingCollator()
+    keys = ("images", "view_mask", "camera_indices") if is_mv else ("image",)
     for i in range(0, n, bs):
         idxs = list(range(i, min(n, i + bs)))
         samples = [dataset[j] for j in idxs]
+        batch = staging([{k: s[k] for k in keys} for s in samples])
         if is_mv:
-            imgs = jnp.asarray(np.stack([s["images"] for s in samples]))
-            vm = jnp.asarray(np.stack([s["view_mask"] for s in samples]))
-            cids = jnp.asarray(np.stack([s["camera_indices"] for s in samples]))
-            preds = predict(imgs, vm, cids)
+            preds = predict(batch["images"], batch["view_mask"],
+                            batch["camera_indices"])
         else:
-            imgs = jnp.asarray(np.stack([s["image"] for s in samples]))
-            preds = predict(imgs)
+            preds = predict(batch["image"])
         all_preds.append({k: np.asarray(v) for k, v in preds.items()})
 
     traj = {k: np.concatenate([p[k] for p in all_preds]) for k in all_preds[0]}
