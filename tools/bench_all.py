@@ -125,6 +125,30 @@ def measure_vpu_peak_gflops():
     return 3 * reps * x.size / dt / 1e9
 
 
+def measure_worklist_iou(spec, cap, size=512):
+    """Silhouette IoU of the capped work-list raster vs the exact kernel on
+    the head-on stick pose. Context: the reference itself approximates with
+    100 z-nearest faces PER PIXEL (p3d_renderer.py:47); our cap is z-nearest
+    faces per 32x32 tile. Measured sweep on this pose: 800→0.992, 700→0.974,
+    600→0.943, 500→0.909."""
+    import jax.numpy as jnp
+
+    from smilify_tpu.core.lbs import smil_forward
+    from smilify_tpu.render.cameras import default_camera
+    from smilify_tpu.render.rasterizer import soft_silhouette
+    from smilify_tpu.utils.visualization import silhouette_iou
+
+    out = smil_forward(spec, jnp.zeros((1, spec.n_betas)), jnp.zeros((1, spec.n_joints, 3)))
+    cam = default_camera()
+    pv = cam.world_to_view(out.verts[0])
+    ndc = cam.view_to_ndc(pv)
+    v = jnp.concatenate([ndc[:, :2], pv[:, 2:3]], axis=1)
+    exact = soft_silhouette(v, spec.faces, (size, size), znear=1e-3, use_pallas=True)
+    capped = soft_silhouette(v, spec.faces, (size, size), znear=1e-3,
+                             use_pallas=True, approx_max_faces=cap)
+    return round(float(silhouette_iou(capped, exact)), 4)
+
+
 def bench_fitter_step(spec, n_frames=1, approx_max_faces=None, vpu_peak_gflops=None):
     # same as bench.py, abbreviated
     import optax
@@ -308,6 +332,13 @@ def main():
     print("3c/5 SMALFitter windowed, work-list raster (top-800 z-nearest/tile) ...", flush=True)
     report["config3c_smalfitter_512_window10_worklist"] = bench_fitter_step(
         stick, n_frames=10, approx_max_faces=800, vpu_peak_gflops=vpu_peak)
+    report["config3c_smalfitter_512_window10_worklist"]["iou_vs_exact"] = (
+        measure_worklist_iou(stick, 800))
+    print("3d/5 SMALFitter windowed, work-list raster (top-700) ...", flush=True)
+    report["config3d_smalfitter_512_window10_worklist700"] = bench_fitter_step(
+        stick, n_frames=10, approx_max_faces=700, vpu_peak_gflops=vpu_peak)
+    report["config3d_smalfitter_512_window10_worklist700"]["iou_vs_exact"] = (
+        measure_worklist_iou(stick, 700))
     print("4/5 single-view inference ...", flush=True)
     report["config4_singleview_resnet50"] = bench_singleview_inference(stick)
     print("5a/5 multi-view 4-cam stick ...", flush=True)
