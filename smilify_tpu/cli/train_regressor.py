@@ -323,7 +323,8 @@ def main(argv=None):
 
         if len(val_ds) >= bs:
             val_losses = []
-            for vb in iterate_batches(val_ds, bs, host_rng, shuffle=False, fraction=1.0):
+            for vb in iterate_batches(val_ds, bs, host_rng, shuffle=False, fraction=1.0,
+                                          collate=staging):
                 vb = shard_batch(mesh, vb)
                 vloss, _ = current["eval_fn"](state.params, state.batch_stats, vb)
                 val_losses.append(float(vloss))
