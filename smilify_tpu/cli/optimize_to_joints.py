@@ -50,6 +50,10 @@ def main(argv=None):
                     help="work-list raster: per-tile z-nearest face cap "
                          "(reference faces_per_pixel=100 approximation); "
                          "default exact all-faces SoftRas")
+    ap.add_argument("--iter-chunk", type=int, default=1,
+                    help="optimization iterations per device dispatch "
+                         "(lax.scan chain; amortizes dispatch latency — "
+                         "note visualizations see end-of-chunk params)")
     ap.add_argument("--load-checkpoint", default=None, metavar="DIR",
                     help="reload per-frame st{N}_ep{M}.pkl params from a previous run "
                          "(reference fitter.load_checkpoint, fitter.py:352-371)")
@@ -173,7 +177,7 @@ def main(argv=None):
                   + " ".join(f"{k}={float(v):.3f}" for k, v in objs.items() if float(v) != 0))
             visualize(stage, it)
 
-    fitter.fit(schedule, callback=cb)
+    fitter.fit(schedule, callback=cb, chunk=args.iter_chunk)
     visualize(10, 0)  # final export, reference convention stage_id=10
     print(f"done in {time.time()-t_start:.1f}s → {out_dir}")
     return out_dir

@@ -5,10 +5,14 @@ This is the functional, TPU-first equivalent of the reference model forward
 
 * shape/pose blendshapes are single MXU matmuls over a (B, 3V) basis;
 * the sequential parent-chain FK (a Python loop over joints in the reference,
-  ``batch_lbs.py:155-180``) is a ``lax.scan`` over the topologically-ordered
-  kintree with per-joint log-scales (``S_par⁻¹·R·S`` cancellation or
-  propagation) and per-joint translation offsets (Unreal y-flip,
-  ``batch_lbs.py:146-148``);
+  ``batch_lbs.py:155-180``) runs as **pointer-jumping** (parallel prefix over
+  the kintree): ⌈log₂(depth)⌉ rounds of batched (J,4,4) matmuls with a jump
+  schedule precomputed from the static parent array, instead of J−1 serially
+  dependent steps — the backward pass is log-depth too. Per-joint log-scales
+  (``S_par⁻¹·R·S`` cancellation or propagation) and per-joint translation
+  offsets (Unreal y-flip, ``batch_lbs.py:146-148``) fold into the per-joint
+  local transforms before the jumps. A ``lax.scan`` fallback handles the rare
+  case of a traced parent array (spec passed as a jit argument);
 * skinning transforms are the relative ``A = results − init_bone`` form
   (``batch_lbs.py:188-195``), applied as one (V,J)×(J,16) matmul.
 
@@ -18,8 +22,10 @@ are batched (leading axis N) and jit/vmap/grad-compatible.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -55,6 +61,30 @@ def _make_A(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     top = jnp.concatenate([R, t[:, None]], axis=1)          # (3, 4)
     bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=R.dtype)
     return jnp.concatenate([top, bottom], axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _jump_schedule(parents_key: tuple):
+    """Pointer-jumping schedule for a static parent array.
+
+    Returns a tuple of (idx, mask) rounds: after initializing the per-joint
+    segment products M[i] = A_local[i] with remaining-ancestor anc[i] =
+    parent[i] (root: done), each round performs
+    ``M[i] ← M[idx[i]] @ M[i] where mask[i]`` and squares the jump distance,
+    so round r prepends the 2^r-ancestor segment. ⌈log₂(max depth)⌉ rounds
+    complete every root-to-joint chain product.
+    """
+    parents = np.asarray(parents_key, dtype=np.int64)
+    J = parents.shape[0]
+    anc = parents.copy()
+    anc[0] = -1  # root segment is already complete
+    rounds = []
+    while np.any(anc >= 0):
+        idx = np.maximum(anc, 0)
+        mask = anc >= 0
+        rounds.append((tuple(int(v) for v in idx), tuple(bool(v) for v in mask)))
+        anc = np.where(mask, anc[idx], -1)
+    return tuple(rounds)
 
 
 def global_rigid_transformation(
@@ -99,16 +129,40 @@ def global_rigid_transformation(
 
     j_offsets = Js - Js[parents] + offs                       # (J, 3); root fixed below
 
-    A0 = _make_A(Rs[0], Js[0])
-    results0 = jnp.zeros((J, 4, 4), dtype=dtype).at[0].set(A0)
+    # per-joint local transforms; the root uses its raw rotation and rest
+    # location (scale adjustment applies only below the root, matching the
+    # reference's special-cased first iteration, batch_lbs.py:155-162)
+    rot_local = rot_scaled.at[0].set(Rs[0])
+    off_local = j_offsets.at[0].set(Js[0])
+    tops = jnp.concatenate([rot_local, off_local[:, :, None]], axis=2)   # (J, 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype), (J, 1, 4)
+    )
+    A_local = jnp.concatenate([tops, bottom], axis=1)                    # (J, 4, 4)
 
-    def step(results, i):
-        A_here = _make_A(rot_scaled[i], j_offsets[i])
-        res_here = jnp.matmul(results[parents[i]], A_here, precision=HIGHEST)
-        results = results.at[i].set(res_here)
-        return results, None
+    try:
+        parents_static = tuple(int(p) for p in np.asarray(parents))
+    except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError):
+        parents_static = None
 
-    results, _ = jax.lax.scan(step, results0, jnp.arange(1, J))
+    if parents_static is not None:
+        # pointer jumping: log₂(depth) rounds of batched 4x4 chain products
+        results = A_local
+        for idx, mask in _jump_schedule(parents_static):
+            idx_a = jnp.asarray(idx, jnp.int32)
+            mask_a = jnp.asarray(mask)[:, None, None]
+            jumped = jnp.matmul(results[idx_a], results, precision=HIGHEST)
+            results = jnp.where(mask_a, jumped, results)
+    else:
+        # traced parent array (spec passed through jit): sequential scan
+        results0 = jnp.zeros((J, 4, 4), dtype=dtype).at[0].set(A_local[0])
+
+        def step(results, i):
+            res_here = jnp.matmul(results[parents[i]], A_local[i], precision=HIGHEST)
+            results = results.at[i].set(res_here)
+            return results, None
+
+        results, _ = jax.lax.scan(step, results0, jnp.arange(1, J))
 
     new_J = results[:, :3, 3]
 
