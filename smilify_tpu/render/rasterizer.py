@@ -84,18 +84,18 @@ def _point_segment_sq_t(px, py, ax, ay, bx, by):
     t = jnp.clip(t, 0.0, 1.0)
     rx = dx - t * ex
     ry = dy - t * ey
-    return rx * rx + ry * ry, t, rx, ry
+    # signed area of (edge × point) — reuses dx/dy so the caller's inside
+    # test costs 3 extra ops per edge instead of a fresh 6-op cross product
+    cross = ex * dy - ey * dx
+    return rx * rx + ry * ry, t, rx, ry, cross
 
 
 def _signed_distance(px, py, ax, ay, bx, by, cx, cy):
-    d1, t1, r1x, r1y = _point_segment_sq_t(px, py, ax, ay, bx, by)
-    d2, t2, r2x, r2y = _point_segment_sq_t(px, py, bx, by, cx, cy)
-    d3, t3, r3x, r3y = _point_segment_sq_t(px, py, cx, cy, ax, ay)
+    d1, t1, r1x, r1y, c0 = _point_segment_sq_t(px, py, ax, ay, bx, by)
+    d2, t2, r2x, r2y, c1 = _point_segment_sq_t(px, py, bx, by, cx, cy)
+    d3, t3, r3x, r3y, c2 = _point_segment_sq_t(px, py, cx, cy, ax, ay)
     dmin = jnp.minimum(jnp.minimum(d1, d2), d3)
 
-    c0 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-    c1 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
-    c2 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
     inside = ((c0 >= 0) & (c1 >= 0) & (c2 >= 0)) | ((c0 <= 0) & (c1 <= 0) & (c2 <= 0))
     sign = jnp.where(inside, -1.0, 1.0)
     return sign * dmin, (d1, t1, r1x, r1y, d2, t2, r2x, r2y, d3, t3, r3x, r3y, dmin, sign)

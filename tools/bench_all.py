@@ -196,6 +196,29 @@ def bench_fitter_step(spec, n_frames=1, approx_max_faces=None, vpu_peak_gflops=N
     loss.block_until_ready()
     dt = (time.perf_counter() - t0) / n
 
+    # chained mode: 10 iterations scanned per dispatch (fitter run_stage chunk)
+    CHUNK = 10
+
+    @jax.jit
+    def chained(p, s):
+        def body(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (p, s), losses = jax.lax.scan(body, (p, s), None, length=CHUNK)
+        return p, s, losses[-1]
+
+    for _ in range(2):
+        params, opt_state, loss = chained(params, opt_state)
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(4):
+        params, opt_state, loss = chained(params, opt_state)
+    loss.block_until_ready()
+    dt_chained = (time.perf_counter() - t0) / (4 * CHUNK)
+
     # roofline estimate: count the raster's useful work at the converged pose
     # (active 8-face×1024-pixel subgroups from the cull mask; ~60 flops per
     # point-triangle test fwd, ~100 bwd) → achieved GFLOP/s of the whole step.
@@ -230,6 +253,9 @@ def bench_fitter_step(spec, n_frames=1, approx_max_faces=None, vpu_peak_gflops=N
     flops = tests * 160  # fwd + bwd point-triangle work
     out = {"step_ms": dt * 1000, "iters_per_sec": 1 / dt,
            "frame_iters_per_sec": n_frames / dt, "frames": n_frames,
+           "chained10_step_ms": dt_chained * 1000,
+           "chained10_iters_per_sec": 1 / dt_chained,
+           "chained10_frame_iters_per_sec": n_frames / dt_chained,
            "image": "512x512", "faces": int(spec.n_faces),
            "raster_mode": ("exact" if approx_max_faces is None
                            else f"worklist_top{approx_max_faces}"),

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--model", default="/root/reference/3D_model_prep/SMILy_STICK.pkl")
+    ap.add_argument("--iter-chunk", type=int, default=1,
+                    help="optimization iterations per dispatch (lax.scan chain)")
     args = ap.parse_args()
 
     from smilify_tpu import load_model_spec, smil_forward
@@ -86,7 +88,7 @@ def main():
         history.append(float(loss))
 
     t0 = time.time()
-    fitter.fit(schedule, callback=cb)
+    fitter.fit(schedule, callback=cb, chunk=args.iter_chunk)
     print(f"[fit] {4*args.iters} iters in {time.time()-t0:.1f}s")
 
     # --- recovered vs GT
