@@ -76,6 +76,8 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=100,
                     help="targets per optimization batch (-1 = all at once)")
     ap.add_argument("--num_samples", type=int, default=3000)
+    ap.add_argument("--iter-chunk", type=int, default=1,
+                    help="optimization iterations per device dispatch (lax.scan chain)")
     args = ap.parse_args(argv)
 
     from smilify_tpu.core.spec import load_model_spec
@@ -114,7 +116,7 @@ def main(argv=None):
             if it % 50 == 0:
                 print(f"  [batch {b}] {stage_name} it {it:4d} loss {loss:.5f}")
 
-        mgr.run(callback=cb)
+        mgr.run(callback=cb, chunk=args.iter_chunk)
         out = mgr.save_npz(os.path.join(results_dir, f"batch_{b}"), final_stage)
         mgr.plot_losses(os.path.join(results_dir, f"batch_{b}"))
         mgr.plot_loss_components(os.path.join(results_dir, f"batch_{b}"))

@@ -276,7 +276,7 @@ class StageManager:
     def add_stage(self, stage: Stage):
         self.stages.append(stage)
 
-    def _make_step(self, stage: Stage):
+    def _make_step(self, stage: Stage, chunk: int = 1):
         trainable = PARAM_SCHEMES[stage.scheme]
         field_names = list(Fit3DParams.__dataclass_fields__)
 
@@ -299,24 +299,70 @@ class StageManager:
                 self.spec, self.topo, params, self.targets, key, lw, num_samples=ns
             )
 
-        @jax.jit
-        def step(params, opt_state, key):
-            (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, key)
+        def one_step(params, opt_state, sub):
+            (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, sub)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss, objs
 
+        if chunk == 1:
+            @jax.jit
+            def step(params, opt_state, key):
+                key, sub = jax.random.split(key)
+                params, opt_state, loss, objs = one_step(params, opt_state, sub)
+                return params, opt_state, key, loss, objs
+        else:
+            # ``chunk`` iterations scanned per dispatch; same key recurrence
+            # as the per-iteration loop, so trajectories match exactly
+            @jax.jit
+            def step(params, opt_state, key):
+                def body(carry, _):
+                    params, opt_state, key = carry
+                    key, sub = jax.random.split(key)
+                    params, opt_state, loss, objs = one_step(params, opt_state, sub)
+                    return (params, opt_state, key), (loss, objs)
+
+                (params, opt_state, key), (losses, objs) = jax.lax.scan(
+                    body, (params, opt_state, key), None, length=chunk
+                )
+                return params, opt_state, key, losses, objs
+
         return tx, step
 
-    def run(self, callback=None):
+    def run(self, callback=None, chunk: int = 1):
+        """Run all stages. ``chunk`` scans that many iterations per device
+        dispatch (dispatch-latency amortization; per-iteration loss history
+        and callbacks are preserved, read back once per chunk)."""
         for stage in self.stages:
-            tx, step = self._make_step(stage)
+            c = max(1, min(int(chunk), stage.n_its or 1))
+            tx, step = self._make_step(stage, c)
+            step1 = None
             opt_state = tx.init(self.params)
-            for it in range(stage.n_its):
-                self.key, sub = jax.random.split(self.key)
-                self.params, opt_state, loss, objs = step(self.params, opt_state, sub)
-                stage.loss_history.append({k: float(v) for k, v in objs.items()})
-                if callback:
-                    callback(stage.name, it, float(loss), objs)
+            it = 0
+            while it < stage.n_its:
+                if stage.n_its - it >= c:
+                    self.params, opt_state, self.key, losses, objs = step(
+                        self.params, opt_state, self.key
+                    )
+                    n = c
+                else:
+                    if step1 is None:
+                        _, step1 = self._make_step(stage, 1)
+                    self.params, opt_state, self.key, losses, objs = step1(
+                        self.params, opt_state, self.key
+                    )
+                    n = 1
+                if c == 1 or n == 1:
+                    stage.loss_history.append({k: float(v) for k, v in objs.items()})
+                    if callback:
+                        callback(stage.name, it, float(losses), objs)
+                else:
+                    for j in range(n):
+                        objs_j = {k: v[j] for k, v in objs.items()}
+                        stage.loss_history.append(
+                            {k: float(v) for k, v in objs_j.items()})
+                        if callback:
+                            callback(stage.name, it + j, float(losses[j]), objs_j)
+                it += n
         return self.params
 
     def plot_losses(self, out_dir: str, name: str = "losses"):

@@ -54,3 +54,38 @@ def test_chunked_stage_matches_single_steps():
     flat3, _ = jax.tree.flatten(results[3])
     for a, b in zip(flat1, flat3):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_fitter3d_chunked_matches_single_steps():
+    """Chunked StageManager.run — same key recurrence, same trajectory."""
+    import jax
+
+    from smilify_tpu.fitter.fitter3d import Stage, StageManager, pad_target_meshes
+    from smilify_tpu.train.multidevice import toy_model_spec
+
+    spec = toy_model_spec()
+    target_v = np.asarray(spec.v_template) + np.array([0.2, 0.1, -0.1], np.float32)
+    targets = pad_target_meshes([(target_v, np.asarray(spec.faces))], ["self"])
+
+    seen = {1: [], 2: []}
+    results = {}
+    for chunk in (1, 2):  # 5 iters at chunk 2 → 2 + 2 + remainder 1
+        mgr = StageManager(spec, targets, seed=0)
+        mgr.add_stage(Stage(
+            "init", "init", n_its=5, lr=0.05,
+            loss_weights={"chamfer": 1.0, "edge": 0.0, "normal": 0.0,
+                          "laplacian": 0.0, "sdf": 0.0},
+            num_samples=256,
+        ))
+        mgr.run(chunk=chunk,
+                callback=lambda s, it, loss, objs, c=chunk: seen[c].append((it, loss)))
+        results[chunk] = mgr.params
+
+    assert [it for it, _ in seen[1]] == [0, 1, 2, 3, 4]
+    assert [it for it, _ in seen[2]] == [0, 1, 2, 3, 4]
+    np.testing.assert_allclose([l for _, l in seen[1]], [l for _, l in seen[2]],
+                               rtol=2e-4)
+    flat1, _ = jax.tree.flatten(results[1])
+    flat2, _ = jax.tree.flatten(results[2])
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
