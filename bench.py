@@ -157,6 +157,10 @@ def main():
                         "10-iter scan chain/dispatch)",
                 "vs_baseline": round(iters_per_sec / REFERENCE_BASELINE_ITERS_PER_SEC, 2),
                 "single_dispatch_iters_per_sec": round(single_iters_per_sec, 3),
+                # rounds 1-2 measured single-dispatch steps; the headline is
+                # now the chained production mode — compare across rounds via
+                # single_dispatch_iters_per_sec
+                "measurement_change_r03": "headline=10-iter chained dispatch",
                 **BASELINE_CAVEATS,
             }
         )

@@ -79,7 +79,14 @@ def _jump_schedule(parents_key: tuple):
     anc = parents.copy()
     anc[0] = -1  # root segment is already complete
     rounds = []
+    # depth ≤ J, so ≤ ⌈log₂(J)⌉+1 rounds; more means the parent array has a
+    # cycle/self-loop (corrupt kintree) — fail fast instead of spinning
+    max_rounds = int(np.ceil(np.log2(max(J, 2)))) + 1
     while np.any(anc >= 0):
+        if len(rounds) >= max_rounds:
+            raise ValueError(
+                f"kintree parent array is cyclic (no topological order): {parents}"
+            )
         idx = np.maximum(anc, 0)
         mask = anc >= 0
         rounds.append((tuple(int(v) for v in idx), tuple(bool(v) for v in mask)))

@@ -413,9 +413,12 @@ class SmalFitter:
             else:
                 loss = losses[-1]
                 if callback is not None:
+                    # ONE device→host readback per chunk; callbacks then see
+                    # host scalars (float() on them is free)
+                    losses_h, objs_h = jax.device_get((losses, objs))
                     for j in range(n):
-                        callback(stage_id, it + j,
-                                 losses[j], jax.tree.map(lambda x, j=j: x[j], objs))
+                        callback(stage_id, it + j, losses_h[j],
+                                 {k: v[j] for k, v in objs_h.items()})
             it += n
         return loss
 

@@ -277,6 +277,16 @@ class StageManager:
         self.stages.append(stage)
 
     def _make_step(self, stage: Stage, chunk: int = 1):
+        # compiled steps are cached per (stage hyperparams, chunk): stages
+        # with identical settings — and the chunk-remainder single step —
+        # reuse one XLA compile (pattern of SmalFitter._get_step)
+        key = (stage.scheme, stage.lr, tuple(sorted(stage.loss_weights.items())),
+               tuple(sorted(stage.custom_lrs.items())), stage.num_samples, chunk)
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        if key in cache:
+            return cache[key]
         trainable = PARAM_SCHEMES[stage.scheme]
         field_names = list(Fit3DParams.__dataclass_fields__)
 
@@ -326,6 +336,7 @@ class StageManager:
                 )
                 return params, opt_state, key, losses, objs
 
+        cache[key] = (tx, step)
         return tx, step
 
     def run(self, callback=None, chunk: int = 1):
@@ -356,12 +367,13 @@ class StageManager:
                     if callback:
                         callback(stage.name, it, float(losses), objs)
                 else:
+                    # ONE device→host readback per chunk, then replay host-side
+                    losses_h, objs_h = jax.device_get((losses, objs))
                     for j in range(n):
-                        objs_j = {k: v[j] for k, v in objs.items()}
-                        stage.loss_history.append(
-                            {k: float(v) for k, v in objs_j.items()})
+                        objs_j = {k: float(v[j]) for k, v in objs_h.items()}
+                        stage.loss_history.append(objs_j)
                         if callback:
-                            callback(stage.name, it + j, float(losses[j]), objs_j)
+                            callback(stage.name, it + j, float(losses_h[j]), objs_j)
                 it += n
         return self.params
 

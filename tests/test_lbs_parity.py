@@ -135,3 +135,16 @@ def test_all_bundled_models_load_and_run():
         v = np.asarray(out.verts)
         assert np.isfinite(v).all(), pkl
         assert v.std() > 1e-4, pkl  # a real mesh, not degenerate
+
+
+def test_cyclic_kintree_fails_fast():
+    """A corrupt parent array with a cycle must raise, not hang the
+    pointer-jumping schedule builder."""
+    import pytest
+
+    from smilify_tpu.core.lbs import _jump_schedule
+
+    with pytest.raises(ValueError, match="cyclic"):
+        _jump_schedule((0, 2, 1))  # 1 <-> 2 cycle
+    # a valid chain still builds
+    assert len(_jump_schedule((0, 0, 1, 2))) >= 1
