@@ -115,6 +115,61 @@ def _active(w) -> bool:
     active terms as tracers)."""
     return not (isinstance(w, (int, float)) and w == 0)
 
+
+def _project_frame(fov, verts, joints3d, image_size):
+    """Per-frame camera math (cheap; silhouettes rasterize batched elsewhere)."""
+    cam = default_camera().replace(fov=fov)
+    proj_yx = cam.project_points_yx(joints3d, image_size)
+    pts_view = cam.world_to_view(verts)
+    ndc = cam.view_to_ndc(pts_view)
+    verts_ndc = jnp.concatenate([ndc[:, :2], pts_view[:, 2:3]], axis=1)
+    return verts_ndc, proj_yx
+
+
+def loss_objs(
+    weights: StageWeights,
+    pose_prior: PosePrior,
+    limit_prior: LimitPrior,
+    shape_prior: ShapePrior,
+    joint_rot: jnp.ndarray,       # (N, P, 3)
+    theta: jnp.ndarray,           # (N, J, 3)
+    betas: jnp.ndarray,           # (N, B) broadcast per frame
+    joints_r: jnp.ndarray,        # (N, K, 2) projected (y, x) pixels
+    target_joints: jnp.ndarray,   # (N, K, 2)
+    vis: jnp.ndarray,             # (N, K) float
+    sil_r: Optional[jnp.ndarray],       # (N, H, W) rendered, or None
+    target_sil: Optional[jnp.ndarray],  # (N, H, W) target, or None
+):
+    """The per-sequence weighted loss terms (reference fitter.py:290-335).
+
+    Factored out of :func:`forward_losses` so the batched multi-sequence
+    fitter (:mod:`fitter_batch`) can vmap it over a sequence axis — each
+    term keeps its per-sequence normalization, making a batched fit exactly
+    the sum of S independent fits."""
+    objs = {}
+    if _active(weights.w_j2d):
+        # reference sets both sides to −1 where invisible → zero contribution,
+        # but the mean divides by the full element count (fitter.py:292-296)
+        diff = (joints_r - target_joints) * vis[..., None]
+        objs["joint"] = weights.w_j2d * jnp.sum(diff**2) / (diff.size)
+
+    if _active(weights.w_limit):
+        objs["limit"] = weights.w_limit * limit_prior(joint_rot)
+
+    if _active(weights.w_pose):
+        objs["pose"] = weights.w_pose * jnp.mean(pose_prior(theta))
+
+    if _active(weights.w_splay):
+        objs["splay"] = weights.w_splay * jnp.sum(joint_rot[:, :, (0, 2)] ** 2)
+
+    if _active(weights.w_betas):
+        objs["betas"] = weights.w_betas * shape_prior(betas)
+
+    if _active(weights.w_reproj) and sil_r is not None and target_sil is not None:
+        objs["sil_reproj"] = weights.w_reproj * jnp.mean(jnp.abs(sil_r - target_sil))
+    return objs
+
+
 def forward_losses(
     spec: ModelSpec,
     params: FitParams,
@@ -153,16 +208,9 @@ def forward_losses(
 
     render_sil = _active(weights.w_reproj) and data.sil is not None
 
-    def project_one(fov, v, j):
-        """Per-frame camera math (cheap); silhouettes rasterize batched below."""
-        cam = default_camera().replace(fov=fov)
-        proj_yx = cam.project_points_yx(j, image_size)
-        pts_view = cam.world_to_view(v)
-        ndc = cam.view_to_ndc(pts_view)
-        verts_ndc = jnp.concatenate([ndc[:, :2], pts_view[:, 2:3]], axis=1)
-        return verts_ndc, proj_yx
-
-    verts_ndc, joints_r = jax.vmap(project_one)(params.fov, verts, joints3d)
+    verts_ndc, joints_r = jax.vmap(
+        lambda f, v, j: _project_frame(f, v, j, image_size)
+    )(params.fov, verts, joints3d)
     sil_r = None
     if render_sil:
         # one batched rasterizer call — frames ride the kernel grid, not vmap
@@ -176,28 +224,11 @@ def forward_losses(
         visibility_override if visibility_override is not None else data.visibility
     ).astype(jnp.float32)
 
-    objs = {}
-    if _active(weights.w_j2d):
-        # reference sets both sides to −1 where invisible → zero contribution,
-        # but the mean divides by the full element count (fitter.py:292-296)
-        diff = (joints_r - data.joints) * vis[..., None]
-        objs["joint"] = weights.w_j2d * jnp.sum(diff**2) / (diff.size)
-
-    if _active(weights.w_limit):
-        objs["limit"] = weights.w_limit * limit_prior(params.joint_rot)
-
-    if _active(weights.w_pose):
-        objs["pose"] = weights.w_pose * jnp.mean(pose_prior(theta))
-
-    if _active(weights.w_splay):
-        objs["splay"] = weights.w_splay * jnp.sum(params.joint_rot[:, :, (0, 2)] ** 2)
-
-    if _active(weights.w_betas):
-        objs["betas"] = weights.w_betas * shape_prior(betas)
-
-    if _active(weights.w_reproj) and data.sil is not None:
-        objs["sil_reproj"] = weights.w_reproj * jnp.mean(jnp.abs(sil_r - data.sil))
-
+    objs = loss_objs(
+        weights, pose_prior, limit_prior, shape_prior,
+        params.joint_rot, theta, betas, joints_r, data.joints, vis,
+        sil_r, data.sil if render_sil else None,
+    )
     total = functools.reduce(lambda a, b: a + b, objs.values())
     return total, objs
 
@@ -255,14 +286,32 @@ class SmalFitter:
         self.n_frames = int(data.joints.shape[0])
         self.params = init_params(spec, self.n_frames, self.shape_prior)
 
-        # stage-0 torso-only visibility (optimize_to_joints.py:129-146)
+        # stage-0 torso-only visibility (optimize_to_joints.py:129-146);
+        # joints are the LAST axis so this also covers (S, N, K) batched data
         vis = np.asarray(data.visibility, dtype=np.float32)
         torso_vis = np.zeros_like(vis)
         if spec.torso_joints:
-            torso_vis[:, list(spec.torso_joints)] = vis[:, list(spec.torso_joints)]
+            torso_vis[..., list(spec.torso_joints)] = vis[..., list(spec.torso_joints)]
         self._torso_visibility = jnp.asarray(torso_vis)
 
     # --- one jitted step per (stage weights, freeze mask) ---
+
+    def _total_loss(self, params, weights: StageWeights, visibility):
+        """Full loss + component dict for one step (overridden by the
+        multi-sequence :class:`~smilify_tpu.fitter.fitter_batch.BatchedFitter`)."""
+        total, objs = forward_losses(
+            self.spec, params, self.data, weights,
+            self.pose_prior, self.limit_prior, self.shape_prior,
+            self.image_size,
+            visibility_override=visibility,
+            canonical_joints=self.canonical_joints,
+            allow_limb_scaling=self.allow_limb_scaling,
+            use_pallas=self.use_pallas, interpret=self.interpret,
+            approx_max_faces=self.approx_max_faces,
+        )
+        tj, tg, tt = temporal_losses(params, weights.w_temp)
+        objs = dict(objs, temporal_joint=tj, temporal_global=tg, temporal_trans=tt)
+        return total + tj + tg + tt, objs
 
     # loss terms whose values become traced step inputs (lr too) — every
     # stage with the same ACTIVITY pattern shares ONE compiled step, so the
@@ -301,19 +350,7 @@ class SmalFitter:
             weights = StageWeights(num_iters=0, lr=0.0, **kw)
 
             def loss_fn(p):
-                total, objs = forward_losses(
-                    self.spec, p, self.data, weights,
-                    self.pose_prior, self.limit_prior, self.shape_prior,
-                    self.image_size,
-                    visibility_override=visibility,
-                    canonical_joints=self.canonical_joints,
-                    allow_limb_scaling=self.allow_limb_scaling,
-                    use_pallas=self.use_pallas, interpret=self.interpret,
-                    approx_max_faces=self.approx_max_faces,
-                )
-                tj, tg, tt = temporal_losses(p, weights.w_temp)
-                objs = dict(objs, temporal_joint=tj, temporal_global=tg, temporal_trans=tt)
-                return total + tj + tg + tt, objs
+                return self._total_loss(p, weights, visibility)
 
             (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = jax.tree.map(lambda g, m: g * m, grads, freeze_mask)

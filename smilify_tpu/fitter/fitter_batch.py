@@ -1,0 +1,216 @@
+"""Sequence-batched fitting — fit many independent clips in ONE jitted
+optimization.
+
+The reference fitter (``smal_fitter/optimize_to_joints.py``) processes one
+sequence per process; throughput over a corpus of clips means launching the
+script once per clip. On TPU the economics invert: a single 512² frame leaves
+most of the chip idle between dispatches, and the rasterizer/LBS already
+treat frames as a batch axis. This module stacks S sequences on a leading
+axis and runs the *whole staged schedule* as one program:
+
+  * every ``FitParams`` leaf gains a leading (S,) axis — including the
+    per-sequence shared ``betas`` / ``log_beta_scales`` / ``joint_trans``;
+  * the SMIL forward and the Pallas rasterizer see one flat (S·N) frame
+    batch (the kernel's native frame-grid axis — no vmap over pallas_call);
+  * every loss term keeps its per-sequence normalization and is SUMMED over
+    sequences (:func:`smilify_tpu.fitter.fitter.loss_objs`). Since no
+    parameter is shared across sequences and Adam is elementwise, the batched
+    fit is **exactly S independent fits** — same trajectories, same results
+    (``tests/test_fitter_batch.py`` asserts this) — at batched throughput;
+  * temporal smoothing pairs frames within each sequence only (vmapped).
+
+Use :class:`BatchedFitter` exactly like ``SmalFitter`` with an extra leading
+sequence axis on ``FitData`` (sil (S, N, H, W), joints (S, N, K, 2),
+visibility (S, N, K)); the stage machinery (traced weights, freeze masks,
+``chunk`` scanning) is inherited unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from smilify_tpu.core.lbs import smil_forward
+from smilify_tpu.core.spec import ModelSpec
+from smilify_tpu.fitter.fitter import (
+    FitData,
+    FitParams,
+    SmalFitter,
+    _active,
+    _project_frame,
+    init_params,
+    loss_objs,
+    temporal_losses,
+)
+from smilify_tpu.fitter.priors import LimitPrior, PosePrior, ShapePrior
+from smilify_tpu.fitter.stages import StageWeights
+from smilify_tpu.render.cameras import default_camera
+from smilify_tpu.render.rasterizer import soft_silhouette
+
+
+def init_params_many(spec: ModelSpec, n_seqs: int, n_frames: int,
+                     shape_prior: ShapePrior, fov: float = 60.0) -> FitParams:
+    """Reference init (head-on global rotation, mean betas) tiled to
+    (n_seqs, ...) — every leaf gains a leading sequence axis."""
+    p = init_params(spec, n_frames, shape_prior, fov)
+    return jax.tree.map(lambda x: jnp.tile(x[None], (n_seqs,) + (1,) * x.ndim), p)
+
+
+def forward_losses_many(
+    spec: ModelSpec,
+    params: FitParams,             # leaves lead with (S, ...) — see init_params_many
+    data: FitData,                 # sil (S,N,H,W) | None, joints (S,N,K,2), vis (S,N,K)
+    weights: StageWeights,
+    pose_prior: PosePrior,
+    limit_prior: LimitPrior,
+    shape_prior: ShapePrior,
+    image_size: Tuple[int, int],
+    visibility_override: Optional[jnp.ndarray] = None,
+    canonical_joints: Optional[jnp.ndarray] = None,
+    allow_limb_scaling: bool = True,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+    approx_max_faces: Optional[int] = None,
+):
+    """Batched analogue of :func:`fitter.forward_losses`: S sequences forward
+    as one flat (S·N) frame batch; loss terms are per-sequence-normalized and
+    summed over sequences (sum of S independent losses)."""
+    S, N = params.global_rot.shape[:2]
+    J = spec.n_joints
+    B = params.betas.shape[-1]
+
+    def flat(x):
+        return x.reshape((S * N,) + x.shape[2:])
+
+    theta = jnp.concatenate([params.global_rot[:, :, None, :], params.joint_rot], axis=2)
+    betas_bc = jnp.broadcast_to(params.betas[:, None, :], (S, N, B))
+    log_scales = (
+        jnp.broadcast_to(params.log_beta_scales[:, None], (S, N, J, 3))
+        if allow_limb_scaling else None
+    )
+    joint_trans = jnp.broadcast_to(params.joint_trans[:, None], (S, N, J, 3))
+
+    out = smil_forward(
+        spec, flat(betas_bc), flat(theta),
+        log_scales=None if log_scales is None else flat(log_scales),
+        joint_trans=flat(joint_trans),
+    )
+    trans_f = flat(params.trans)
+    verts = out.verts + trans_f[:, None, :]
+    joints3d = out.joints + trans_f[:, None, :]
+    if canonical_joints is not None:
+        joints3d = joints3d[:, canonical_joints]
+
+    verts_ndc, joints_r = jax.vmap(
+        lambda f, v, j: _project_frame(f, v, j, image_size)
+    )(flat(params.fov), verts, joints3d)
+
+    render_sil = _active(weights.w_reproj) and data.sil is not None
+    sil_r = None
+    if render_sil:
+        # ONE rasterizer call: S·N frames ride the kernel's native frame-grid
+        # axis (SMEM-budget sub-batching inside handles large S·N)
+        sil_r = soft_silhouette(
+            verts_ndc, spec.faces, image_size, znear=default_camera().znear,
+            use_pallas=use_pallas, interpret=interpret,
+            approx_max_faces=approx_max_faces,
+        )
+
+    vis = (
+        visibility_override if visibility_override is not None else data.visibility
+    ).astype(jnp.float32)
+
+    K = joints_r.shape[-2]
+    joints_r_s = joints_r.reshape(S, N, K, 2)
+
+    if render_sil:
+        H, W = image_size
+        sil_r_s = sil_r.reshape(S, N, H, W)
+
+        def per_seq(jr, th, bb, jrd, tj, vs, sr, ts):
+            return loss_objs(weights, pose_prior, limit_prior, shape_prior,
+                             jr, th, bb, jrd, tj, vs, sr, ts)
+
+        objs_s = jax.vmap(per_seq)(
+            params.joint_rot, theta, betas_bc, joints_r_s, data.joints, vis,
+            sil_r_s, data.sil,
+        )
+    else:
+
+        def per_seq(jr, th, bb, jrd, tj, vs):
+            return loss_objs(weights, pose_prior, limit_prior, shape_prior,
+                             jr, th, bb, jrd, tj, vs, None, None)
+
+        objs_s = jax.vmap(per_seq)(
+            params.joint_rot, theta, betas_bc, joints_r_s, data.joints, vis,
+        )
+
+    objs = {k: jnp.sum(v) for k, v in objs_s.items()}
+    total = functools.reduce(lambda a, b: a + b, objs.values())
+    return total, objs
+
+
+class BatchedFitter(SmalFitter):
+    """``SmalFitter`` over a leading sequence axis — one compile, one
+    optimizer, S clips. The staged schedule, traced-weight step cache,
+    freeze masks, and chunked ``lax.scan`` stepping are inherited; only the
+    loss assembly and parameter initialization change shape."""
+
+    def __init__(self, spec, data: FitData, image_size, **kwargs):
+        super().__init__(spec, data, image_size, **kwargs)
+        self.n_seqs, self.n_frames = int(data.joints.shape[0]), int(data.joints.shape[1])
+        self.params = init_params_many(spec, self.n_seqs, self.n_frames, self.shape_prior)
+
+    def _total_loss(self, params, weights: StageWeights, visibility):
+        total, objs = forward_losses_many(
+            self.spec, params, self.data, weights,
+            self.pose_prior, self.limit_prior, self.shape_prior,
+            self.image_size,
+            visibility_override=visibility,
+            canonical_joints=self.canonical_joints,
+            allow_limb_scaling=self.allow_limb_scaling,
+            use_pallas=self.use_pallas, interpret=self.interpret,
+            approx_max_faces=self.approx_max_faces,
+        )
+        tj, tg, tt = jax.vmap(lambda p: temporal_losses(p, weights.w_temp))(params)
+        tj, tg, tt = jnp.sum(tj), jnp.sum(tg), jnp.sum(tt)
+        objs = dict(objs, temporal_joint=tj, temporal_global=tg, temporal_trans=tt)
+        return total + tj + tg + tt, objs
+
+    def forward_frames(self):
+        """SMIL forward for all sequences/frames: (S, N, V, 3), (S, N, J, 3)."""
+        S, N, J = self.n_seqs, self.n_frames, self.spec.n_joints
+
+        def flat(x):
+            return x.reshape((S * N,) + x.shape[2:])
+
+        theta = jnp.concatenate(
+            [self.params.global_rot[:, :, None, :], self.params.joint_rot], axis=2
+        )
+        log_scales = (
+            jnp.broadcast_to(self.params.log_beta_scales[:, None], (S, N, J, 3))
+            if self.allow_limb_scaling else None
+        )
+        joint_trans = jnp.broadcast_to(self.params.joint_trans[:, None], (S, N, J, 3))
+        betas = jnp.broadcast_to(
+            self.params.betas[:, None, :], (S, N, self.params.betas.shape[-1])
+        )
+        out = smil_forward(
+            self.spec, flat(betas), flat(theta),
+            log_scales=None if log_scales is None else flat(log_scales),
+            joint_trans=flat(joint_trans),
+        )
+        trans_f = flat(self.params.trans)
+        verts = out.verts + trans_f[:, None, :]
+        joints = out.joints + trans_f[:, None, :]
+        V = verts.shape[1]
+        return verts.reshape(S, N, V, 3), joints.reshape(S, N, J, 3)
+
+    def sequence_params(self, s: int) -> FitParams:
+        """The s-th sequence's parameters as a plain single-sequence pytree
+        (for per-clip export/visualization through the existing tooling)."""
+        return jax.tree.map(lambda x: x[s], self.params)
