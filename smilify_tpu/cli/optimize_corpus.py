@@ -86,8 +86,13 @@ def main(argv=None):
                     help="work-list raster per-tile z-nearest face cap")
     ap.add_argument("--iter-chunk", type=int, default=1,
                     help="optimization iterations per device dispatch (lax.scan chain)")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard the clip axis over ALL local devices "
+                         "(shard_map; corpus is padded by repeating clips to a "
+                         "multiple of the device count, padding discarded on export)")
     args = ap.parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
 
     from smilify_tpu.core.spec import load_model_spec
@@ -123,6 +128,15 @@ def main(argv=None):
             f"clips disagree on (frames, H, W) — {detail}; use --use-crop/"
             f"--crop-size and --max-frames to make them uniform"
         )
+
+    n_real = len(clips)
+    if args.shard:
+        n_dev = len(jax.devices())
+        while len(clips) % n_dev:  # pad by cycling; padded fits are discarded
+            i = len(clips) % n_real
+            clips.append(clips[i])
+            clip_names.append(f"_pad_{clip_names[i]}")
+            clip_filenames.append(clip_filenames[i])
     S = len(clips)
     N, H, W = clips[0][1].shape
     print(f"Corpus: {S} clips x {N} frames  image {H}x{W}  model J={spec.n_joints}")
@@ -148,16 +162,23 @@ def main(argv=None):
 
         shape_prior = unity_shape_prior(args.unity_prior, n_betas=spec.n_betas)
 
-    fitter = BatchedFitter(spec, data, (H, W), allow_limb_scaling=args.limb_scaling,
-                           pose_prior=pose_prior, shape_prior=shape_prior,
-                           approx_max_faces=args.approx_max_faces)
+    fitter_cls = BatchedFitter
+    fit_kwargs = {}
+    if args.shard:
+        from smilify_tpu.fitter.fitter_batch import ShardedBatchedFitter
 
-    # one exporter over the flattened corpus: out_dir/<clip>/<frame>/st_ep.*
-    # (single-frame clips skip the clip level — same layout as
-    # optimize_to_joints: out_dir/<frame>/st_ep.*)
+        fitter_cls = ShardedBatchedFitter
+        print(f"sharding {S} clips ({n_real} real) over {len(jax.devices())} devices")
+    fitter = fitter_cls(spec, data, (H, W), allow_limb_scaling=args.limb_scaling,
+                        pose_prior=pose_prior, shape_prior=shape_prior,
+                        approx_max_faces=args.approx_max_faces, **fit_kwargs)
+
+    # one exporter over the flattened corpus (padding clips excluded):
+    # out_dir/<clip>/<frame>/st_ep.* (single-frame clips skip the clip level —
+    # same layout as optimize_to_joints: out_dir/<frame>/st_ep.*)
     flat_names = [
         clip_filenames[s][i] if N == 1 else os.path.join(clip_names[s], clip_filenames[s][i])
-        for s in range(S)
+        for s in range(n_real)
         for i in range(N)
     ]
     exporter = ImageExporter(out_dir, flat_names)
@@ -167,7 +188,7 @@ def main(argv=None):
         verts, joints3d = fitter.forward_frames()  # (S, N, V, 3), (S, N, J, 3)
         exporter.stage_id = stage_id
         exporter.epoch_name = str(epoch)
-        for s in range(S):
+        for s in range(n_real):
             p = fitter.sequence_params(s)
             for i in range(N):
                 cam = default_camera().replace(fov=p.fov[i])

@@ -296,11 +296,13 @@ class SmalFitter:
 
     # --- one jitted step per (stage weights, freeze mask) ---
 
-    def _total_loss(self, params, weights: StageWeights, visibility):
+    def _total_loss(self, params, weights: StageWeights, visibility, data=None):
         """Full loss + component dict for one step (overridden by the
-        multi-sequence :class:`~smilify_tpu.fitter.fitter_batch.BatchedFitter`)."""
+        multi-sequence :class:`~smilify_tpu.fitter.fitter_batch.BatchedFitter`).
+        ``data`` defaults to the fitter's own targets; the sharded corpus
+        fitter passes each device's local shard instead."""
         total, objs = forward_losses(
-            self.spec, params, self.data, weights,
+            self.spec, params, self.data if data is None else data, weights,
             self.pose_prior, self.limit_prior, self.shape_prior,
             self.image_size,
             visibility_override=visibility,
@@ -339,7 +341,7 @@ class SmalFitter:
         tx = optax.scale_by_adam(b1=0.5, b2=0.999)
         fields = self._WEIGHT_FIELDS
 
-        def one_step(params, opt_state, w_vals, lr, freeze_mask, visibility):
+        def one_step(params, opt_state, w_vals, lr, freeze_mask, visibility, data):
             kw, i = {}, 0
             for f, on in zip(fields, structure):
                 if on:
@@ -350,7 +352,7 @@ class SmalFitter:
             weights = StageWeights(num_iters=0, lr=0.0, **kw)
 
             def loss_fn(p):
-                return self._total_loss(p, weights, visibility)
+                return self._total_loss(p, weights, visibility, data)
 
             (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grads = jax.tree.map(lambda g, m: g * m, grads, freeze_mask)
@@ -369,16 +371,24 @@ class SmalFitter:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, objs
 
+        step = self._jit_step(one_step, chunk)
+        cache[(structure, chunk)] = (tx, step)
+        return tx, step
+
+    def _jit_step(self, one_step, chunk: int):
+        """Compile ``one_step`` (or a ``chunk``-long lax.scan chain of it) into
+        one dispatchable function. The sharded corpus fitter overrides this to
+        wrap the same body in a shard_map over a device mesh."""
         if chunk == 1:
             @jax.jit
-            def step(params, opt_state, w_vals, lr, freeze_mask, visibility):
-                return one_step(params, opt_state, w_vals, lr, freeze_mask, visibility)
+            def step(params, opt_state, w_vals, lr, freeze_mask, visibility, data):
+                return one_step(params, opt_state, w_vals, lr, freeze_mask, visibility, data)
         else:
             @jax.jit
-            def step(params, opt_state, w_vals, lr, freeze_mask, visibility):
+            def step(params, opt_state, w_vals, lr, freeze_mask, visibility, data):
                 def body(carry, _):
                     p, s = carry
-                    p, s, loss, objs = one_step(p, s, w_vals, lr, freeze_mask, visibility)
+                    p, s, loss, objs = one_step(p, s, w_vals, lr, freeze_mask, visibility, data)
                     return (p, s), (loss, objs)
 
                 (params, opt_state), (losses, objs) = jax.lax.scan(
@@ -386,8 +396,7 @@ class SmalFitter:
                 )
                 return params, opt_state, losses, objs
 
-        cache[(structure, chunk)] = (tx, step)
-        return tx, step
+        return step
 
     def _freeze_mask(self, freeze: dict) -> FitParams:
         def m(name, default=False):
@@ -429,18 +438,20 @@ class SmalFitter:
         chunk = max(1, min(int(chunk), weights.num_iters or 1))
         tx, step = self._get_step(structure, chunk)
         opt_state = tx.init(self.params)
+        # traced target data: rgb stays host-side (viz only, never in the loss)
+        data = self.data._replace(rgb=None)
         loss = None
         it = 0
         while it < weights.num_iters:
             if weights.num_iters - it >= chunk:
                 self.params, opt_state, losses, objs = step(
-                    self.params, opt_state, w_vals, lr, freeze_mask, visibility
+                    self.params, opt_state, w_vals, lr, freeze_mask, visibility, data
                 )
                 n = chunk
             else:
                 _, step1 = self._get_step(structure, 1)
                 self.params, opt_state, losses, objs = step1(
-                    self.params, opt_state, w_vals, lr, freeze_mask, visibility
+                    self.params, opt_state, w_vals, lr, freeze_mask, visibility, data
                 )
                 n = 1
             if chunk == 1 or n == 1:

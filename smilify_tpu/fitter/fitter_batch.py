@@ -165,9 +165,9 @@ class BatchedFitter(SmalFitter):
         self.n_seqs, self.n_frames = int(data.joints.shape[0]), int(data.joints.shape[1])
         self.params = init_params_many(spec, self.n_seqs, self.n_frames, self.shape_prior)
 
-    def _total_loss(self, params, weights: StageWeights, visibility):
+    def _total_loss(self, params, weights: StageWeights, visibility, data=None):
         total, objs = forward_losses_many(
-            self.spec, params, self.data, weights,
+            self.spec, params, self.data if data is None else data, weights,
             self.pose_prior, self.limit_prior, self.shape_prior,
             self.image_size,
             visibility_override=visibility,
@@ -214,3 +214,92 @@ class BatchedFitter(SmalFitter):
         """The s-th sequence's parameters as a plain single-sequence pytree
         (for per-clip export/visualization through the existing tooling)."""
         return jax.tree.map(lambda x: x[s], self.params)
+
+
+class ShardedBatchedFitter(BatchedFitter):
+    """:class:`BatchedFitter` with the sequence axis sharded over a device
+    mesh — the corpus-scale path for TPU pods.
+
+    Clips are embarrassingly data-parallel (no parameter is shared across
+    sequences), so the step runs under ``shard_map`` with every per-clip
+    leaf partitioned on a 1-D ``('clips',)`` mesh and NO collectives in the
+    optimization itself — each chip fits its own S/D clips, and only the
+    scalar loss/objective readbacks are ``psum``-ed for reporting. The
+    Pallas rasterizer runs per-shard on each device's local (S/D·N) frame
+    batch, exactly as in the single-device batched fit.
+    """
+
+    def __init__(self, spec, data: FitData, image_size, mesh=None, **kwargs):
+        super().__init__(spec, data, image_size, **kwargs)
+        if mesh is None:
+            mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("clips",))
+        if len(mesh.axis_names) != 1:
+            raise ValueError(f"need a 1-D mesh, got axes {mesh.axis_names}")
+        self.mesh = mesh
+        self._clips_axis = mesh.axis_names[0]
+        n_dev = mesh.devices.size
+        if self.n_seqs % n_dev:
+            raise ValueError(
+                f"{self.n_seqs} clips not divisible by {n_dev} devices — pad "
+                f"the corpus (cli/optimize_corpus.py --shard does this)"
+            )
+
+    def _jit_step(self, one_step, chunk: int):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        mesh, axis = self.mesh, self._clips_axis
+        CLIP = PartitionSpec(axis)   # partition leading (S, ...) axis
+        REPL = PartitionSpec()       # replicated
+
+        def body(params, opt_state, w_vals, lr, freeze_mask, visibility, data):
+            if chunk == 1:
+                params, opt_state, losses, objs = one_step(
+                    params, opt_state, w_vals, lr, freeze_mask, visibility, data
+                )
+            else:
+                def scan_body(carry, _):
+                    p, s = carry
+                    p, s, loss, objs = one_step(p, s, w_vals, lr, freeze_mask,
+                                                visibility, data)
+                    return (p, s), (loss, objs)
+
+                (params, opt_state), (losses, objs) = jax.lax.scan(
+                    scan_body, (params, opt_state), None, length=chunk
+                )
+            # per-shard losses are partial sums over local clips; reporting
+            # wants the corpus totals (same numbers as the unsharded fit)
+            losses = jax.lax.psum(losses, axis)
+            objs = jax.tree.map(lambda v: jax.lax.psum(v, axis), objs)
+            return params, opt_state, losses, objs
+
+        @jax.jit
+        def step(params, opt_state, w_vals, lr, freeze_mask, visibility, data):
+            # explicit per-argument specs (every FitParams leaf leads with S;
+            # adam mu/nu mirror params, its count is a replicated scalar;
+            # weights/lr/freeze masks are scalars; all target data is per-clip)
+            in_specs = (
+                jax.tree.map(lambda _: CLIP, params),
+                jax.tree.map(lambda x: CLIP if getattr(x, "ndim", 0) >= 1 else REPL,
+                             opt_state),
+                REPL, REPL,
+                jax.tree.map(lambda _: REPL, freeze_mask),
+                CLIP,
+                jax.tree.map(lambda _: CLIP, data),
+            )
+            out_specs = (
+                jax.tree.map(lambda _: CLIP, params),
+                jax.tree.map(lambda x: CLIP if getattr(x, "ndim", 0) >= 1 else REPL,
+                             opt_state),
+                REPL,  # losses (scalar or (chunk,)) — psum-replicated
+                REPL,  # objs dict prefix — all scalars, psum-replicated
+            )
+            # check_vma=False: the varying-manual-axes tracker rejects scan
+            # carries initialized from constants (the rasterizer's face-chunk
+            # accumulator), and pallas_call has no replication rule anyway;
+            # replication of the psum-ed outputs holds by construction
+            return shard_map(body, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(
+                params, opt_state, w_vals, lr, freeze_mask, visibility, data)
+
+        return step

@@ -77,6 +77,67 @@ def test_batched_chunked_matches_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
 
 
+def test_sharded_corpus_matches_unsharded():
+    """ShardedBatchedFitter on a 4-device ('clips',) mesh must reproduce the
+    single-device BatchedFitter numbers — clips are embarrassingly parallel,
+    so the shard_map step has no collectives in the optimization (only the
+    psum on the reported loss). Subprocess: the platform/device count cannot
+    change after backend init (test_multidevice.py pattern)."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import Mesh
+from smilify_tpu.fitter.fitter import FitData
+from smilify_tpu.fitter.fitter_batch import BatchedFitter, ShardedBatchedFitter
+from smilify_tpu.fitter.stages import StageWeights
+from smilify_tpu.train.multidevice import toy_model_spec
+
+H = W = 64
+N, S = 2, 4
+spec = toy_model_spec()
+rng = np.random.RandomState(0)
+data = FitData(
+    rgb=None,
+    sil=jnp.asarray((rng.rand(S, N, H, W) > 0.8).astype(np.float32)),
+    joints=jnp.asarray(rng.rand(S, N, spec.n_joints, 2).astype(np.float32) * H),
+    visibility=jnp.asarray((rng.rand(S, N, spec.n_joints) > 0.2).astype(np.float32)),
+)
+schedule = [
+    StageWeights(num_iters=3, lr=1e-2, w_j2d=1.0, w_reproj=0.0, w_betas=0.0,
+                 w_pose=0.0, w_limit=0.0, w_splay=0.0, w_temp=0.0),
+    StageWeights(num_iters=4, lr=1e-2, w_j2d=1.0, w_reproj=0.5, w_betas=0.1,
+                 w_pose=0.01, w_limit=0.01, w_splay=0.01, w_temp=0.1),
+]
+plain = BatchedFitter(spec, data, (H, W))
+plain_losses = plain.fit(schedule=schedule)
+
+mesh = Mesh(np.asarray(jax.devices()[:4]), ("clips",))
+sharded = ShardedBatchedFitter(spec, data, (H, W), mesh=mesh)
+sharded_losses = sharded.fit(schedule=schedule, chunk=2)  # exercises the scan path
+
+for a, b in zip(plain_losses, sharded_losses):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+# params: sharding changes XLA fusion/tiling, so per-element fp reassociation
+# drifts ~1e-3 over the 7 Adam iterations (semantically identical — the loss
+# check above and the single-vs-batched test pin the exact semantics)
+for a, b in zip(jax.tree.flatten(plain.params)[0], jax.tree.flatten(sharded.params)[0]):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=1e-3)
+print("SHARDED-CORPUS-OK")
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                         timeout=1200, capture_output=True, text=True)
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "SHARDED-CORPUS-OK" in out.stdout
+
+
 def test_batched_shapes_and_export():
     spec = toy_model_spec()
     data = _stack([_seq_data(spec, seed) for seed in (8, 9, 10)])

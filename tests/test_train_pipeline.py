@@ -86,6 +86,24 @@ def test_optimize_to_joints_cli(tmp_path):
     assert (frame_dir / "st10_ep0.ply").exists()
 
 
+@pytest.mark.slow
+def test_optimize_corpus_cli(tmp_path):
+    """Batched corpus fitting: two clips in one jitted optimization, per-clip
+    exports in the same layout as the single-clip CLI."""
+    res = run_module("smilify_tpu.cli.optimize_corpus", [
+        "--model", STICK_PKL,
+        "--sequences", "replicAnt:SMIL_00_synth.jpg", "replicAnt:SMIL_01_synth.jpg",
+        "--data-root", "/root/reference/data/replicAnt_trials/SMIL_COCO",
+        "--crop-size", "64", "--use-crop",
+        "--output-dir", str(tmp_path / "corpus"),
+        "--test", "--test-stages", "2", "--vis-frequency", "9",
+    ], timeout=3600)
+    assert res.returncode == 0, (res.stdout[-1500:], res.stderr[-2500:])
+    for clip in ("SMIL_00_synth", "SMIL_01_synth"):
+        for ext in ("png", "pkl", "ply"):
+            assert (tmp_path / "corpus" / clip / f"st10_ep0.{ext}").exists()
+
+
 def test_synthetic_multiview_generator(tmp_path, stick_spec):
     from smilify_tpu.data.hdf5_dataset import MultiViewHDF5Dataset
     from smilify_tpu.data.synthetic import generate_synthetic_multiview
