@@ -54,6 +54,12 @@ def main(argv=None):
                     help="optimization iterations per device dispatch "
                          "(lax.scan chain; amortizes dispatch latency — "
                          "note visualizations see end-of-chunk params)")
+    ap.add_argument("--shard-frames", action="store_true",
+                    help="shard the frame axis over ALL local devices "
+                         "(shard_map: per-frame params stay chip-local, shared "
+                         "betas/scales psum, temporal pairs halo-exchange; "
+                         "frame count must divide the device count evenly — "
+                         "use --image-range to trim)")
     ap.add_argument("--load-checkpoint", default=None, metavar="DIR",
                     help="reload per-frame st{N}_ep{M}.pkl params from a previous run "
                          "(reference fitter.load_checkpoint, fitter.py:352-371)")
@@ -112,7 +118,15 @@ def main(argv=None):
 
         shape_prior = unity_shape_prior(args.unity_prior, n_betas=spec.n_betas)
 
-    fitter = SmalFitter(spec, data, (H, W), allow_limb_scaling=args.limb_scaling,
+    fitter_cls = SmalFitter
+    if args.shard_frames:
+        import jax
+
+        from smilify_tpu.fitter.fitter_frames import ShardedSequenceFitter
+
+        fitter_cls = ShardedSequenceFitter
+        print(f"sharding {len(filenames)} frames over {len(jax.devices())} devices")
+    fitter = fitter_cls(spec, data, (H, W), allow_limb_scaling=args.limb_scaling,
                         pose_prior=pose_prior, shape_prior=shape_prior,
                         approx_max_faces=args.approx_max_faces)
 

@@ -339,41 +339,50 @@ class SmalFitter:
             return cache[(structure, chunk)]
 
         tx = optax.scale_by_adam(b1=0.5, b2=0.999)
-        fields = self._WEIGHT_FIELDS
 
         def one_step(params, opt_state, w_vals, lr, freeze_mask, visibility, data):
-            kw, i = {}, 0
-            for f, on in zip(fields, structure):
-                if on:
-                    kw[f] = w_vals[i]
-                    i += 1
-                else:
-                    kw[f] = 0.0
-            weights = StageWeights(num_iters=0, lr=0.0, **kw)
+            weights = self._weights_from(structure, w_vals)
 
             def loss_fn(p):
                 return self._total_loss(p, weights, visibility, data)
 
             (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            grads = jax.tree.map(lambda g, m: g * m, grads, freeze_mask)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            # descent with the stage lr; fov keeps its dedicated lr=1 group
-            # (reference optimize_to_joints.py:117-127)
-            updates = FitParams(
-                global_rot=updates.global_rot * (-lr),
-                joint_rot=updates.joint_rot * (-lr),
-                betas=updates.betas * (-lr),
-                trans=updates.trans * (-lr),
-                fov=updates.fov * (-1.0),
-                log_beta_scales=updates.log_beta_scales * (-lr),
-                joint_trans=updates.joint_trans * (-lr),
+            params, opt_state = self._apply_update(
+                tx, params, opt_state, grads, lr, freeze_mask
             )
-            params = optax.apply_updates(params, updates)
             return params, opt_state, loss, objs
 
         step = self._jit_step(one_step, chunk)
         cache[(structure, chunk)] = (tx, step)
         return tx, step
+
+    def _weights_from(self, structure: tuple, w_vals) -> StageWeights:
+        """Rebuild a StageWeights from the traced active-weight vector (the
+        activity pattern is static, the values are step inputs)."""
+        kw, i = {}, 0
+        for f, on in zip(self._WEIGHT_FIELDS, structure):
+            if on:
+                kw[f] = w_vals[i]
+                i += 1
+            else:
+                kw[f] = 0.0
+        return StageWeights(num_iters=0, lr=0.0, **kw)
+
+    def _apply_update(self, tx, params, opt_state, grads, lr, freeze_mask):
+        """Freeze-masked Adam update; fov keeps its dedicated lr=1 group
+        (reference optimize_to_joints.py:117-127)."""
+        grads = jax.tree.map(lambda g, m: g * m, grads, freeze_mask)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = FitParams(
+            global_rot=updates.global_rot * (-lr),
+            joint_rot=updates.joint_rot * (-lr),
+            betas=updates.betas * (-lr),
+            trans=updates.trans * (-lr),
+            fov=updates.fov * (-1.0),
+            log_beta_scales=updates.log_beta_scales * (-lr),
+            joint_trans=updates.joint_trans * (-lr),
+        )
+        return optax.apply_updates(params, updates), opt_state
 
     def _jit_step(self, one_step, chunk: int):
         """Compile ``one_step`` (or a ``chunk``-long lax.scan chain of it) into
