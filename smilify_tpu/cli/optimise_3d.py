@@ -78,10 +78,18 @@ def main(argv=None):
     ap.add_argument("--num_samples", type=int, default=3000)
     ap.add_argument("--iter-chunk", type=int, default=1,
                     help="optimization iterations per device dispatch (lax.scan chain)")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard the scan axis over ALL local devices (shard_map; "
+                         "each batch is padded to a device-count multiple by "
+                         "duplicating scans, duplicates dropped from the npz)")
     args = ap.parse_args(argv)
 
     from smilify_tpu.core.spec import load_model_spec
-    from smilify_tpu.fitter.fitter3d import StageManager, pad_target_meshes
+    from smilify_tpu.fitter.fitter3d import (
+        ShardedStageManager,
+        StageManager,
+        pad_target_meshes,
+    )
     from smilify_tpu.utils.export import load_obj
 
     stages, yaml_args = load_stages_from_yaml(args.yaml_src)
@@ -105,8 +113,17 @@ def main(argv=None):
             v, f = load_obj(p)
             meshes.append((v, f))
             names.append(os.path.splitext(os.path.basename(p))[0])
+        n_real = len(meshes)
+        if args.shard:
+            import jax
+
+            n_dev = len(jax.devices())
+            while len(meshes) % n_dev:  # pad by cycling; dropped before export
+                i = len(meshes) % n_real
+                meshes.append(meshes[i])
+                names.append(f"_pad_{names[i]}")
         targets = pad_target_meshes(meshes, names)
-        mgr = StageManager(spec, targets)
+        mgr = ShardedStageManager(spec, targets) if args.shard else StageManager(spec, targets)
         for st in stages:
             st.num_samples = args.num_samples
             st.loss_history = []
@@ -117,6 +134,15 @@ def main(argv=None):
                 print(f"  [batch {b}] {stage_name} it {it:4d} loss {loss:.5f}")
 
         mgr.run(callback=cb, chunk=args.iter_chunk)
+        if len(meshes) > n_real:  # drop the sharding padding before export
+            import jax
+
+            mgr.params = jax.tree.map(lambda x: x[:n_real], mgr.params)
+            mgr.targets = targets._replace(
+                verts=targets.verts[:n_real], verts_mask=targets.verts_mask[:n_real],
+                faces=targets.faces[:n_real], faces_mask=targets.faces_mask[:n_real],
+                names=targets.names[:n_real],
+            )
         out = mgr.save_npz(os.path.join(results_dir, f"batch_{b}"), final_stage)
         mgr.plot_losses(os.path.join(results_dir, f"batch_{b}"))
         mgr.plot_loss_components(os.path.join(results_dir, f"batch_{b}"))

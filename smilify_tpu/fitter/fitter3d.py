@@ -182,11 +182,19 @@ def registration_losses(
     num_samples: int = 3000,
     target_sdf: Optional[jnp.ndarray] = None,
     src_sdf: Optional[jnp.ndarray] = None,
+    sample_keys: Optional[jnp.ndarray] = None,
 ):
-    """Weighted loss dict over the mesh batch (reference Stage.loss, trainer.py:371-435)."""
+    """Weighted loss dict over the mesh batch (reference Stage.loss, trainer.py:371-435).
+
+    ``sample_keys`` (B, 2, key_dim) overrides the internal per-mesh key split —
+    the scan-sharded stage manager precomputes the GLOBAL split and shards it
+    so each device samples exactly what the unsharded batch would."""
     verts, _ = fitter3d_forward(spec, params)
     B = verts.shape[0]
-    keys = jax.random.split(key, 2 * B).reshape(B, 2, -1)
+    keys = (
+        sample_keys if sample_keys is not None
+        else jax.random.split(key, 2 * B).reshape(B, 2, -1)
+    )
 
     objs = {}
     if loss_weights.get("chamfer", 0.0) > 0 or loss_weights.get("sdf", 0.0) > 0:
@@ -287,20 +295,7 @@ class StageManager:
             cache = self._step_cache = {}
         if key in cache:
             return cache[key]
-        trainable = PARAM_SCHEMES[stage.scheme]
-        field_names = list(Fit3DParams.__dataclass_fields__)
-
-        def label(name):
-            if name not in trainable:
-                return "frozen"
-            return name if name in stage.custom_lrs else "main"
-
-        labels = Fit3DParams(**{n: label(n) for n in field_names})
-        transforms = {"main": optax.adam(stage.lr), "frozen": optax.set_to_zero()}
-        for pname, plr in stage.custom_lrs.items():
-            transforms[pname] = optax.adam(plr)
-        tx = optax.multi_transform(transforms, labels)
-
+        tx = self._make_tx(stage)
         lw = dict(stage.loss_weights)
         ns = stage.num_samples
 
@@ -314,6 +309,31 @@ class StageManager:
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss, objs
 
+        step = self._jit_step(one_step, chunk)
+        cache[key] = (tx, step)
+        return tx, step
+
+    def _make_tx(self, stage: Stage):
+        """Per-stage multi-group optimizer: frozen params zeroed, custom-lr
+        params get their own Adam (reference per-param-group lrs)."""
+        trainable = PARAM_SCHEMES[stage.scheme]
+        field_names = list(Fit3DParams.__dataclass_fields__)
+
+        def label(name):
+            if name not in trainable:
+                return "frozen"
+            return name if name in stage.custom_lrs else "main"
+
+        labels = Fit3DParams(**{n: label(n) for n in field_names})
+        transforms = {"main": optax.adam(stage.lr), "frozen": optax.set_to_zero()}
+        for pname, plr in stage.custom_lrs.items():
+            transforms[pname] = optax.adam(plr)
+        return optax.multi_transform(transforms, labels)
+
+    def _jit_step(self, one_step, chunk: int):
+        """Compile one_step (or a chunk-long scan of it) with the PRNG-key
+        recurrence outside the body, so chunked and per-iteration trajectories
+        match exactly."""
         if chunk == 1:
             @jax.jit
             def step(params, opt_state, key):
@@ -321,8 +341,6 @@ class StageManager:
                 params, opt_state, loss, objs = one_step(params, opt_state, sub)
                 return params, opt_state, key, loss, objs
         else:
-            # ``chunk`` iterations scanned per dispatch; same key recurrence
-            # as the per-iteration loop, so trajectories match exactly
             @jax.jit
             def step(params, opt_state, key):
                 def body(carry, _):
@@ -336,8 +354,7 @@ class StageManager:
                 )
                 return params, opt_state, key, losses, objs
 
-        cache[key] = (tx, step)
-        return tx, step
+        return step
 
     def run(self, callback=None, chunk: int = 1):
         """Run all stages. ``chunk`` scans that many iterations per device
@@ -453,3 +470,92 @@ class StageManager:
             labels=np.asarray(self.targets.names),
         )
         return path
+
+
+class ShardedStageManager(StageManager):
+    """:class:`StageManager` with the scan axis sharded over a 1-D
+    ``('scans',)`` device mesh — register a whole scan library across a TPU
+    pod slice in one program.
+
+    Every ``Fit3DParams`` leaf is per-scan (scans share nothing), so the
+    shard_map step needs NO collectives in the optimization — each device
+    registers its own B/D scans; only the reported loss/objective scalars are
+    ``psum``-ed. The per-scan point-sampling keys are split from the stage key
+    GLOBALLY (outside the shard_map) and sharded as data, so each device draws
+    exactly the samples the unsharded batch would — trajectories match the
+    single-device run (``tests/test_fitter3d.py::test_sharded_scan_registration``).
+    """
+
+    def __init__(self, spec, targets: TargetMeshes, params=None, seed: int = 0,
+                 propagate_scaling: bool = True, mesh=None):
+        super().__init__(spec, targets, params=params, seed=seed,
+                         propagate_scaling=propagate_scaling)
+        if mesh is None:
+            mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("scans",))
+        if len(mesh.axis_names) != 1:
+            raise ValueError(f"need a 1-D mesh, got axes {mesh.axis_names}")
+        self.mesh = mesh
+        self._scan_axis = mesh.axis_names[0]
+        B, D = targets.verts.shape[0], mesh.devices.size
+        if B % D:
+            raise ValueError(
+                f"{B} scans not divisible by {D} devices — pad the batch "
+                f"(duplicate scans; drop the duplicates from the exported npz)"
+            )
+
+    def _make_step(self, stage: Stage, chunk: int = 1):
+        key = (stage.scheme, stage.lr, tuple(sorted(stage.loss_weights.items())),
+               tuple(sorted(stage.custom_lrs.items())), stage.num_samples, chunk)
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        if key in cache:
+            return cache[key]
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        mesh, axis = self.mesh, self._scan_axis
+        SCAN = PartitionSpec(axis)
+        REPL = PartitionSpec()
+        D = mesh.devices.size
+        B = self.targets.verts.shape[0]
+        targets_arg = self.targets._replace(names=())  # names: static metadata
+        t_specs = TargetMeshes(verts=SCAN, verts_mask=SCAN, faces=SCAN,
+                               faces_mask=SCAN, names=())
+
+        tx = self._make_tx(stage)
+        lw = dict(stage.loss_weights)
+        ns = stage.num_samples
+
+        def grad_body(params, sample_keys, targets):
+            def loss_fn(p):
+                _, objs = registration_losses(
+                    self.spec, self.topo, p, targets, sample_keys[0, 0], lw,
+                    num_samples=ns, sample_keys=sample_keys,
+                )
+                # every term is a mean over the scan batch → 1/D makes the
+                # psum (and every local gradient) equal the unsharded value
+                objs = {k: v / D for k, v in objs.items()}
+                return sum(objs.values()), objs
+
+            (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            loss = jax.lax.psum(loss, axis)
+            objs = jax.tree.map(lambda v: jax.lax.psum(v, axis), objs)
+            return loss, objs, grads
+
+        def one_step(params, opt_state, sub):
+            # the GLOBAL key split of registration_losses, sharded as data
+            sample_keys = jax.random.split(sub, 2 * B).reshape(B, 2, -1)
+            # check_vma=False: see fitter_batch.ShardedBatchedFitter._jit_step
+            loss, objs, grads = shard_map(
+                grad_body, mesh=mesh, in_specs=(SCAN, SCAN, t_specs),
+                out_specs=(REPL, REPL, SCAN), check_vma=False,
+            )(params, sample_keys, targets_arg)
+            # elementwise multi-group update outside the shard_map
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, objs
+
+        step = self._jit_step(one_step, chunk)
+        cache[key] = (tx, step)
+        return tx, step

@@ -118,3 +118,59 @@ def test_load_reference_atta_obj():
     v, f = load_obj(path)
     assert v.shape[0] > 100 and f.shape[0] > 100
     assert f.max() < v.shape[0]
+
+
+def test_sharded_scan_registration_matches_single():
+    """ShardedStageManager on a 4-device ('scans',) mesh reproduces the
+    single-device StageManager run: scans share no parameters and the per-scan
+    sampling keys are split globally then sharded, so even the stochastic
+    point sampling is identical (fitter3d.ShardedStageManager)."""
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import Mesh
+from smilify_tpu.fitter.fitter3d import (
+    Stage, StageManager, ShardedStageManager, pad_target_meshes,
+)
+from smilify_tpu.train.multidevice import toy_model_spec
+
+spec = toy_model_spec()
+rng = np.random.RandomState(0)
+v0 = np.asarray(spec.v_template)
+meshes = [(v0 + rng.randn(3).astype(np.float32) * 0.2, np.asarray(spec.faces))
+          for _ in range(4)]
+targets = pad_target_meshes(meshes, [f"m{i}" for i in range(4)])
+
+def stage():
+    return Stage("init", "init", n_its=6, lr=0.05,
+                 loss_weights={"chamfer": 1.0, "edge": 0.0, "normal": 0.0,
+                               "laplacian": 0.0, "sdf": 0.0}, num_samples=500)
+
+plain = StageManager(spec, targets, seed=0)
+plain.add_stage(stage())
+plain_traj = []
+plain.run(callback=lambda s, i, l, o: plain_traj.append(float(l)))
+
+mesh = Mesh(np.asarray(jax.devices()[:4]), ("scans",))
+sharded = ShardedStageManager(spec, targets, seed=0, mesh=mesh)
+sharded.add_stage(stage())
+sharded_traj = []
+sharded.run(callback=lambda s, i, l, o: sharded_traj.append(float(l)),
+            chunk=2)  # exercises the scan-chunk path too
+
+np.testing.assert_allclose(plain_traj, sharded_traj, rtol=1e-4, atol=1e-7)
+for a, b in zip(jax.tree.flatten(plain.params)[0], jax.tree.flatten(sharded.params)[0]):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-3)
+print("SHARDED-3D-OK")
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                         timeout=1200, capture_output=True, text=True)
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "SHARDED-3D-OK" in out.stdout
