@@ -79,10 +79,18 @@ def main(argv=None):
     ap.add_argument("--iter-chunk", type=int, default=1,
                     help="optimization iterations per device dispatch (lax.scan chain)")
     ap.add_argument("--shard", action="store_true",
-                    help="shard the scan axis over ALL local devices (shard_map; "
+                    help="shard the scan axis over ALL devices (shard_map; "
                          "each batch is padded to a device-count multiple by "
                          "duplicating scans, duplicates dropped from the npz)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize() for pod-slice launches; "
+                         "with --shard the scan mesh spans every host's devices "
+                         "and npz/plot writes are gated to process 0")
     args = ap.parse_args(argv)
+
+    from smilify_tpu.train.multihost import is_primary, maybe_initialize_multihost
+
+    maybe_initialize_multihost(args.multihost)
 
     from smilify_tpu.core.spec import load_model_spec
     from smilify_tpu.fitter.fitter3d import (
@@ -143,12 +151,13 @@ def main(argv=None):
                 faces=targets.faces[:n_real], faces_mask=targets.faces_mask[:n_real],
                 names=targets.names[:n_real],
             )
-        out = mgr.save_npz(os.path.join(results_dir, f"batch_{b}"), final_stage)
-        mgr.plot_losses(os.path.join(results_dir, f"batch_{b}"))
-        mgr.plot_loss_components(os.path.join(results_dir, f"batch_{b}"))
-        print(f"batch {b}: saved {out}")
+        if is_primary():
+            out = mgr.save_npz(os.path.join(results_dir, f"batch_{b}"), final_stage)
+            mgr.plot_losses(os.path.join(results_dir, f"batch_{b}"))
+            mgr.plot_loss_components(os.path.join(results_dir, f"batch_{b}"))
+            print(f"batch {b}: saved {out}")
 
-    if len(batches) > 1:
+    if len(batches) > 1 and is_primary():
         merged = combine_stage_results(results_dir, final_stage, len(batches))
         print(f"merged → {merged}")
 

@@ -87,10 +87,18 @@ def main(argv=None):
     ap.add_argument("--iter-chunk", type=int, default=1,
                     help="optimization iterations per device dispatch (lax.scan chain)")
     ap.add_argument("--shard", action="store_true",
-                    help="shard the clip axis over ALL local devices "
+                    help="shard the clip axis over ALL devices "
                          "(shard_map; corpus is padded by repeating clips to a "
                          "multiple of the device count, padding discarded on export)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize() for pod-slice launches; "
+                         "with --shard the clip mesh spans every host's devices "
+                         "and exports are gated to process 0")
     args = ap.parse_args(argv)
+
+    from smilify_tpu.train.multihost import is_primary, maybe_initialize_multihost
+
+    maybe_initialize_multihost(args.multihost)
 
     import jax
     import jax.numpy as jnp
@@ -185,6 +193,8 @@ def main(argv=None):
     schedule = test_schedule(max_stages=args.test_stages) if args.test else OPT_WEIGHTS
 
     def visualize(stage_id, epoch):
+        if not is_primary():
+            return
         verts, joints3d = fitter.forward_frames()  # (S, N, V, 3), (S, N, J, 3)
         exporter.stage_id = stage_id
         exporter.epoch_name = str(epoch)

@@ -65,7 +65,15 @@ def main(argv=None):
                          "(reference fitter.load_checkpoint, fitter.py:352-371)")
     ap.add_argument("--checkpoint-stage", type=int, default=10)
     ap.add_argument("--checkpoint-epoch", default="0")
+    ap.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize() for pod-slice launches "
+                         "(auto-detected from SLURM/TPU env too); exports are "
+                         "gated to process 0")
     args = ap.parse_args(argv)
+
+    from smilify_tpu.train.multihost import is_primary, maybe_initialize_multihost
+
+    maybe_initialize_multihost(args.multihost)
 
     import jax.numpy as jnp
 
@@ -144,6 +152,8 @@ def main(argv=None):
     schedule = test_schedule(max_stages=args.test_stages) if args.test else OPT_WEIGHTS
 
     def visualize(stage_id, epoch):
+        if not is_primary():
+            return
         verts, joints3d = fitter.forward_frames()
         exporter.stage_id = stage_id
         exporter.epoch_name = str(epoch)
