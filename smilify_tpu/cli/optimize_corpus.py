@@ -90,10 +90,14 @@ def main(argv=None):
                     help="shard the clip axis over ALL devices "
                          "(shard_map; corpus is padded by repeating clips to a "
                          "multiple of the device count, padding discarded on export)")
+    ap.add_argument("--shard-grid", default=None, metavar="CxF",
+                    help="2-D ('clips','frames') mesh, e.g. 4x2: clips AND "
+                         "frames partitioned at once (long-clip corpora); "
+                         "frame count must divide F")
     ap.add_argument("--multihost", action="store_true",
                     help="jax.distributed.initialize() for pod-slice launches; "
-                         "with --shard the clip mesh spans every host's devices "
-                         "and exports are gated to process 0")
+                         "with --shard/--shard-grid the mesh spans every "
+                         "host's devices and exports are gated to process 0")
     args = ap.parse_args(argv)
 
     from smilify_tpu.train.multihost import is_primary, maybe_initialize_multihost
@@ -138,9 +142,13 @@ def main(argv=None):
         )
 
     n_real = len(clips)
-    if args.shard:
-        n_dev = len(jax.devices())
-        while len(clips) % n_dev:  # pad by cycling; padded fits are discarded
+    grid = None
+    if args.shard_grid:
+        dc, df = (int(v) for v in args.shard_grid.lower().split("x"))
+        grid = (dc, df)
+    if args.shard or grid:
+        pad_to = grid[0] if grid else len(jax.devices())
+        while len(clips) % pad_to:  # pad by cycling; padded fits are discarded
             i = len(clips) % n_real
             clips.append(clips[i])
             clip_names.append(f"_pad_{clip_names[i]}")
@@ -172,7 +180,18 @@ def main(argv=None):
 
     fitter_cls = BatchedFitter
     fit_kwargs = {}
-    if args.shard:
+    if grid:
+        from jax.sharding import Mesh
+
+        from smilify_tpu.fitter.fitter_batch import GridShardedFitter
+
+        dc, df = grid
+        fitter_cls = GridShardedFitter
+        fit_kwargs["mesh"] = Mesh(
+            np.asarray(jax.devices()[: dc * df]).reshape(dc, df), ("clips", "frames")
+        )
+        print(f"sharding {S} clips ({n_real} real) × {N} frames over a {dc}x{df} mesh")
+    elif args.shard:
         from smilify_tpu.fitter.fitter_batch import ShardedBatchedFitter
 
         fitter_cls = ShardedBatchedFitter

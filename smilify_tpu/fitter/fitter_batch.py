@@ -303,3 +303,118 @@ class ShardedBatchedFitter(BatchedFitter):
                 params, opt_state, w_vals, lr, freeze_mask, visibility, data)
 
         return step
+
+
+class GridShardedFitter(BatchedFitter):
+    """:class:`BatchedFitter` over a 2-D ``('clips', 'frames')`` mesh — a
+    corpus of LONG clips partitioned along both axes at once.
+
+    Composes the two 1-D strategies (:class:`ShardedBatchedFitter` and
+    :class:`~smilify_tpu.fitter.fitter_frames.ShardedSequenceFitter`): each
+    device owns an (S/Dc × N/Df) tile of (clip, frame) space. Clips share
+    nothing, so the 'clips' axis needs no collectives; along 'frames' the
+    per-clip shared parameters (betas/scales/trans offsets) psum their
+    gradients, per-clip mean-normalized loss terms scale by 1/Df, and the
+    temporal-smoothing pairs across frame-shard boundaries ride a vmapped
+    ppermute halo. Equivalence to the single-device batched fit is asserted
+    in ``tests/test_fitter_batch.py::test_grid_sharded_matches_unsharded``.
+    """
+
+    def __init__(self, spec, data: FitData, image_size, mesh=None, **kwargs):
+        super().__init__(spec, data, image_size, **kwargs)
+        if mesh is None:
+            devs = np.asarray(jax.devices())
+            mesh = jax.sharding.Mesh(devs.reshape(len(devs), 1), ("clips", "frames"))
+        if tuple(mesh.axis_names) != ("clips", "frames"):
+            raise ValueError(f"need a ('clips', 'frames') mesh, got {mesh.axis_names}")
+        self.mesh = mesh
+        Dc, Df = mesh.devices.shape
+        if self.n_seqs % Dc or self.n_frames % Df:
+            raise ValueError(
+                f"corpus ({self.n_seqs} clips × {self.n_frames} frames) not "
+                f"divisible by the ({Dc} × {Df}) mesh"
+            )
+
+    def _local_loss(self, params, weights: StageWeights, visibility, data):
+        """Per-tile loss whose 2-axis psum (and gradients, after the 'frames'
+        psum on shared leaves) equal the unsharded batched fit exactly."""
+        from smilify_tpu.fitter.fitter_frames import (
+            _FRAME_MEAN_TERMS,
+            temporal_losses_halo,
+        )
+
+        Df = jax.lax.axis_size("frames")
+        _, objs = forward_losses_many(
+            self.spec, params, data, weights,
+            self.pose_prior, self.limit_prior, self.shape_prior,
+            self.image_size,
+            visibility_override=visibility,
+            canonical_joints=self.canonical_joints,
+            allow_limb_scaling=self.allow_limb_scaling,
+            use_pallas=self.use_pallas, interpret=self.interpret,
+            approx_max_faces=self.approx_max_faces,
+        )
+        objs = {k: (v / Df if k in _FRAME_MEAN_TERMS else v) for k, v in objs.items()}
+        # temporal: per-clip frame pairs; boundary pairs halo along 'frames'
+        tj, tg, tt = jax.vmap(
+            lambda p: temporal_losses_halo(p, weights.w_temp, "frames")
+        )(params)
+        objs = dict(objs, temporal_joint=jnp.sum(tj), temporal_global=jnp.sum(tg),
+                    temporal_trans=jnp.sum(tt))
+        total = functools.reduce(lambda a, b: a + b, objs.values())
+        return total, objs
+
+    def _get_step(self, structure: tuple, chunk: int = 1):
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        if (structure, chunk) in cache:
+            return cache[(structure, chunk)]
+
+        import optax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        mesh = self.mesh
+        TILE = PartitionSpec("clips", "frames")   # (S, N, ...) leaves
+        CLIP = PartitionSpec("clips")             # per-clip shared (S, ...)
+        REPL = PartitionSpec()
+        P_SPECS = FitParams(global_rot=TILE, joint_rot=TILE, betas=CLIP,
+                            trans=TILE, fov=TILE, log_beta_scales=CLIP,
+                            joint_trans=CLIP)
+
+        tx = optax.scale_by_adam(b1=0.5, b2=0.999)
+
+        def grad_body(params, w_vals, visibility, data):
+            weights = self._weights_from(structure, w_vals)
+
+            def loss_fn(p):
+                return self._local_loss(p, weights, visibility, data)
+
+            (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            # per-clip shared leaves: sum the frame-shard partials
+            grads = grads.replace(
+                betas=jax.lax.psum(grads.betas, "frames"),
+                log_beta_scales=jax.lax.psum(grads.log_beta_scales, "frames"),
+                joint_trans=jax.lax.psum(grads.joint_trans, "frames"),
+            )
+            loss = jax.lax.psum(loss, ("clips", "frames"))
+            objs = jax.tree.map(lambda v: jax.lax.psum(v, ("clips", "frames")), objs)
+            return loss, objs, grads
+
+        def one_step(params, opt_state, w_vals, lr, freeze_mask, visibility, data):
+            in_specs = (P_SPECS, REPL, TILE, jax.tree.map(lambda _: TILE, data))
+            out_specs = (REPL, REPL, P_SPECS)
+            # check_vma=False: see ShardedBatchedFitter._jit_step
+            loss, objs, grads = shard_map(
+                grad_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )(params, w_vals, visibility, data)
+            params, opt_state = self._apply_update(
+                tx, params, opt_state, grads, lr, freeze_mask
+            )
+            return params, opt_state, loss, objs
+
+        step = self._jit_step(one_step, chunk)
+        cache[(structure, chunk)] = (tx, step)
+        return tx, step

@@ -148,3 +148,66 @@ def test_batched_shapes_and_export():
     p0 = fitter.sequence_params(0)
     assert p0.global_rot.shape == (N, 3)
     assert p0.betas.shape == fitter.params.betas.shape[1:]
+
+
+def test_grid_sharded_matches_unsharded():
+    """GridShardedFitter on a 2x2 ('clips','frames') mesh reproduces the
+    single-device BatchedFitter numbers: clips axis collective-free, frames
+    axis psums shared-param grads and halos the temporal boundary pairs."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import Mesh
+from smilify_tpu.fitter.fitter import FitData
+from smilify_tpu.fitter.fitter_batch import BatchedFitter, GridShardedFitter
+from smilify_tpu.fitter.stages import StageWeights
+from smilify_tpu.train.multidevice import toy_model_spec
+
+H = W = 64
+S, N = 2, 4
+spec = toy_model_spec()
+rng = np.random.RandomState(7)
+data = FitData(
+    rgb=None,
+    sil=jnp.asarray((rng.rand(S, N, H, W) > 0.8).astype(np.float32)),
+    joints=jnp.asarray(rng.rand(S, N, spec.n_joints, 2).astype(np.float32) * H),
+    visibility=jnp.asarray((rng.rand(S, N, spec.n_joints) > 0.2).astype(np.float32)),
+)
+schedule = [
+    StageWeights(num_iters=3, lr=1e-2, w_j2d=1.0, w_reproj=0.0, w_betas=0.0,
+                 w_pose=0.0, w_limit=0.0, w_splay=0.0, w_temp=0.0),
+    StageWeights(num_iters=4, lr=1e-2, w_j2d=1.0, w_reproj=0.5, w_betas=0.1,
+                 w_pose=0.01, w_limit=0.01, w_splay=0.01, w_temp=0.5),
+]
+
+def run(fitter, chunk):
+    traj = []
+    fitter.fit(schedule=schedule, chunk=chunk,
+               callback=lambda st, it, loss, objs: traj.append(float(loss)))
+    return traj
+
+plain = BatchedFitter(spec, data, (H, W))
+plain_traj = run(plain, 1)
+
+mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("clips", "frames"))
+grid = GridShardedFitter(spec, data, (H, W), mesh=mesh)
+grid_traj = run(grid, 2)
+
+assert len(plain_traj) == len(grid_traj) == 7
+np.testing.assert_allclose(plain_traj, grid_traj, rtol=1e-3, atol=1e-6)
+for a, b in zip(jax.tree.flatten(plain.params)[0], jax.tree.flatten(grid.params)[0]):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-3)
+print("GRID-SHARDED-OK")
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                         timeout=1800, capture_output=True, text=True)
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "GRID-SHARDED-OK" in out.stdout
