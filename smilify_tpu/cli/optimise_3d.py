@@ -142,6 +142,11 @@ def main(argv=None):
                 print(f"  [batch {b}] {stage_name} it {it:4d} loss {loss:.5f}")
 
         mgr.run(callback=cb, chunk=args.iter_chunk)
+        # collective: every process gathers the global params to host numpy;
+        # only process 0 writes below
+        from smilify_tpu.train.multihost import allgather
+
+        mgr.params = allgather(mgr.params)
         if len(meshes) > n_real:  # drop the sharding padding before export
             import jax
 

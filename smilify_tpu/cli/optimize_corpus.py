@@ -79,7 +79,8 @@ def main(argv=None):
     ap.add_argument("--vis-frequency", type=int, default=50)
     ap.add_argument("--test", action="store_true", help="10-iteration test schedule")
     ap.add_argument("--test-stages", type=int, default=None)
-    ap.add_argument("--limb-scaling", action="store_true", default=True)
+    ap.add_argument("--limb-scaling", action=argparse.BooleanOptionalAction, default=True,
+                    help="optimize per-joint limb scales (--no-limb-scaling freezes them)")
     ap.add_argument("--unity-prior", default=None, metavar="NPZ")
     ap.add_argument("--walking-prior", default=None, metavar="PKL")
     ap.add_argument("--approx-max-faces", type=int, default=None,
@@ -212,8 +213,21 @@ def main(argv=None):
     schedule = test_schedule(max_stages=args.test_stages) if args.test else OPT_WEIGHTS
 
     def visualize(stage_id, epoch):
+        # the allgather is a collective — EVERY process joins; only process 0
+        # renders and writes (multi-host params are not host-addressable)
+        from smilify_tpu.train.multihost import allgather
+
+        params_h = jax.tree.map(jnp.asarray, allgather(fitter.params))
         if not is_primary():
             return
+        prev_params = fitter.params
+        fitter.params = params_h
+        try:
+            _visualize_primary(stage_id, epoch)
+        finally:
+            fitter.params = prev_params
+
+    def _visualize_primary(stage_id, epoch):
         verts, joints3d = fitter.forward_frames()  # (S, N, V, 3), (S, N, J, 3)
         exporter.stage_id = stage_id
         exporter.epoch_name = str(epoch)

@@ -38,7 +38,8 @@ def main(argv=None):
     ap.add_argument("--test", action="store_true", help="10-iteration test schedule")
     ap.add_argument("--test-stages", type=int, default=None,
                     help="truncate the --test schedule to N stages (CI wall-time bound)")
-    ap.add_argument("--limb-scaling", action="store_true", default=True)
+    ap.add_argument("--limb-scaling", action=argparse.BooleanOptionalAction, default=True,
+                    help="optimize per-joint limb scales (--no-limb-scaling freezes them)")
     ap.add_argument("--unity-prior", default=None, metavar="NPZ",
                     help="unity shape-prior npz (reference use_unity_prior, fitter.py:86-107)")
     ap.add_argument("--walking-prior", default=None, metavar="PKL",
@@ -75,6 +76,7 @@ def main(argv=None):
 
     maybe_initialize_multihost(args.multihost)
 
+    import jax
     import jax.numpy as jnp
 
     from smilify_tpu.core.spec import load_model_spec
@@ -152,8 +154,21 @@ def main(argv=None):
     schedule = test_schedule(max_stages=args.test_stages) if args.test else OPT_WEIGHTS
 
     def visualize(stage_id, epoch):
+        # the allgather is a collective — EVERY process joins; only process 0
+        # renders and writes (multi-host params are not host-addressable)
+        from smilify_tpu.train.multihost import allgather
+
+        params_h = jax.tree.map(jnp.asarray, allgather(fitter.params))
         if not is_primary():
             return
+        prev_params = fitter.params
+        fitter.params = params_h
+        try:
+            _visualize_primary(stage_id, epoch)
+        finally:
+            fitter.params = prev_params
+
+    def _visualize_primary(stage_id, epoch):
         verts, joints3d = fitter.forward_frames()
         exporter.stage_id = stage_id
         exporter.epoch_name = str(epoch)

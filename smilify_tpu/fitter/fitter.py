@@ -283,8 +283,7 @@ class SmalFitter:
         self.use_pallas = use_pallas
         self.interpret = interpret
         self.approx_max_faces = approx_max_faces
-        self.n_frames = int(data.joints.shape[0])
-        self.params = init_params(spec, self.n_frames, self.shape_prior)
+        self._init_params_from_data(data)
 
         # stage-0 torso-only visibility (optimize_to_joints.py:129-146);
         # joints are the LAST axis so this also covers (S, N, K) batched data
@@ -293,6 +292,13 @@ class SmalFitter:
         if spec.torso_joints:
             torso_vis[..., list(spec.torso_joints)] = vis[..., list(spec.torso_joints)]
         self._torso_visibility = jnp.asarray(torso_vis)
+
+    def _init_params_from_data(self, data: FitData):
+        """Decompose the data axes and allocate initial parameters (the
+        batched corpus fitter overrides this: its leading axis is clips,
+        not frames)."""
+        self.n_frames = int(data.joints.shape[0])
+        self.params = init_params(self.spec, self.n_frames, self.shape_prior)
 
     # --- one jitted step per (stage weights, freeze mask) ---
 
@@ -407,6 +413,12 @@ class SmalFitter:
 
         return step
 
+    def _init_opt_state(self, tx):
+        """Fresh per-stage optimizer state (reference rebuilds Adam per stage).
+        Sharded fitters jit this: eager ops on multi-host global arrays are
+        rejected outside jit."""
+        return tx.init(self.params)
+
     def _freeze_mask(self, freeze: dict) -> FitParams:
         def m(name, default=False):
             return jnp.asarray(0.0 if freeze.get(name, default) else 1.0, jnp.float32)
@@ -446,7 +458,7 @@ class SmalFitter:
 
         chunk = max(1, min(int(chunk), weights.num_iters or 1))
         tx, step = self._get_step(structure, chunk)
-        opt_state = tx.init(self.params)
+        opt_state = self._init_opt_state(tx)
         # traced target data: rgb stays host-side (viz only, never in the loss)
         data = self.data._replace(rgb=None)
         loss = None

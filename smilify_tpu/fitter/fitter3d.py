@@ -313,6 +313,11 @@ class StageManager:
         cache[key] = (tx, step)
         return tx, step
 
+    def _init_opt_state(self, tx):
+        """Fresh per-stage optimizer state (the sharded manager jits this —
+        eager ops on multi-host global arrays are rejected outside jit)."""
+        return tx.init(self.params)
+
     def _make_tx(self, stage: Stage):
         """Per-stage multi-group optimizer: frozen params zeroed, custom-lr
         params get their own Adam (reference per-param-group lrs)."""
@@ -364,7 +369,7 @@ class StageManager:
             c = max(1, min(int(chunk), stage.n_its or 1))
             tx, step = self._make_step(stage, c)
             step1 = None
-            opt_state = tx.init(self.params)
+            opt_state = self._init_opt_state(tx)
             it = 0
             while it < stage.n_its:
                 if stage.n_its - it >= c:
@@ -502,6 +507,26 @@ class ShardedStageManager(StageManager):
                 f"{B} scans not divisible by {D} devices — pad the batch "
                 f"(duplicate scans; drop the duplicates from the exported npz)"
             )
+        if jax.process_count() > 1:
+            # multi-host: reassemble the per-host full copies into global
+            # arrays laid out on the mesh (fitter_frames.ShardedFitterMixin
+            # rationale; every host loads the whole scan batch)
+            from jax.sharding import PartitionSpec
+
+            from smilify_tpu.train.multihost import globalize
+
+            SCAN = PartitionSpec(self._scan_axis)
+            self.params = globalize(
+                self.params, mesh, jax.tree.map(lambda _: SCAN, self.params)
+            )
+            names = self.targets.names
+            t = self.targets._replace(names=())
+            self.targets = globalize(
+                t, mesh, jax.tree.map(lambda _: SCAN, t)
+            )._replace(names=names)
+
+    def _init_opt_state(self, tx):
+        return jax.jit(tx.init)(self.params)
 
     def _make_step(self, stage: Stage, chunk: int = 1):
         key = (stage.scheme, stage.lr, tuple(sorted(stage.loss_weights.items())),

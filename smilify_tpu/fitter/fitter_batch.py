@@ -46,6 +46,12 @@ from smilify_tpu.fitter.fitter import (
     loss_objs,
     temporal_losses,
 )
+from smilify_tpu.fitter.fitter_frames import (
+    _FRAME_MEAN_TERMS,
+    ShardedFitterMixin,
+    psum_shared_grads,
+    temporal_losses_halo,
+)
 from smilify_tpu.fitter.priors import LimitPrior, PosePrior, ShapePrior
 from smilify_tpu.fitter.stages import StageWeights
 from smilify_tpu.render.cameras import default_camera
@@ -60,25 +66,10 @@ def init_params_many(spec: ModelSpec, n_seqs: int, n_frames: int,
     return jax.tree.map(lambda x: jnp.tile(x[None], (n_seqs,) + (1,) * x.ndim), p)
 
 
-def forward_losses_many(
-    spec: ModelSpec,
-    params: FitParams,             # leaves lead with (S, ...) — see init_params_many
-    data: FitData,                 # sil (S,N,H,W) | None, joints (S,N,K,2), vis (S,N,K)
-    weights: StageWeights,
-    pose_prior: PosePrior,
-    limit_prior: LimitPrior,
-    shape_prior: ShapePrior,
-    image_size: Tuple[int, int],
-    visibility_override: Optional[jnp.ndarray] = None,
-    canonical_joints: Optional[jnp.ndarray] = None,
-    allow_limb_scaling: bool = True,
-    use_pallas: Optional[bool] = None,
-    interpret: bool = False,
-    approx_max_faces: Optional[int] = None,
-):
-    """Batched analogue of :func:`fitter.forward_losses`: S sequences forward
-    as one flat (S·N) frame batch; loss terms are per-sequence-normalized and
-    summed over sequences (sum of S independent losses)."""
+def _batched_smil_forward(spec: ModelSpec, params: FitParams, allow_limb_scaling: bool):
+    """SMIL forward over (S, N) as one flat frame batch: broadcasts the
+    per-sequence shared leaves per frame, returns world verts/joints with the
+    translation applied, still flat (S·N, ...)."""
     S, N = params.global_rot.shape[:2]
     J = spec.n_joints
     B = params.betas.shape[-1]
@@ -102,12 +93,39 @@ def forward_losses_many(
     trans_f = flat(params.trans)
     verts = out.verts + trans_f[:, None, :]
     joints3d = out.joints + trans_f[:, None, :]
+    return verts, joints3d, flat(theta).reshape(S, N, J, 3), betas_bc
+
+
+def forward_losses_many(
+    spec: ModelSpec,
+    params: FitParams,             # leaves lead with (S, ...) — see init_params_many
+    data: FitData,                 # sil (S,N,H,W) | None, joints (S,N,K,2), vis (S,N,K)
+    weights: StageWeights,
+    pose_prior: PosePrior,
+    limit_prior: LimitPrior,
+    shape_prior: ShapePrior,
+    image_size: Tuple[int, int],
+    visibility_override: Optional[jnp.ndarray] = None,
+    canonical_joints: Optional[jnp.ndarray] = None,
+    allow_limb_scaling: bool = True,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+    approx_max_faces: Optional[int] = None,
+):
+    """Batched analogue of :func:`fitter.forward_losses`: S sequences forward
+    as one flat (S·N) frame batch; loss terms are per-sequence-normalized and
+    summed over sequences (sum of S independent losses)."""
+    S, N = params.global_rot.shape[:2]
+
+    verts, joints3d, theta, betas_bc = _batched_smil_forward(
+        spec, params, allow_limb_scaling
+    )
     if canonical_joints is not None:
         joints3d = joints3d[:, canonical_joints]
 
     verts_ndc, joints_r = jax.vmap(
         lambda f, v, j: _project_frame(f, v, j, image_size)
-    )(flat(params.fov), verts, joints3d)
+    )(params.fov.reshape(S * N), verts, joints3d)
 
     render_sil = _active(weights.w_reproj) and data.sil is not None
     sil_r = None
@@ -160,10 +178,9 @@ class BatchedFitter(SmalFitter):
     freeze masks, and chunked ``lax.scan`` stepping are inherited; only the
     loss assembly and parameter initialization change shape."""
 
-    def __init__(self, spec, data: FitData, image_size, **kwargs):
-        super().__init__(spec, data, image_size, **kwargs)
+    def _init_params_from_data(self, data: FitData):
         self.n_seqs, self.n_frames = int(data.joints.shape[0]), int(data.joints.shape[1])
-        self.params = init_params_many(spec, self.n_seqs, self.n_frames, self.shape_prior)
+        self.params = init_params_many(self.spec, self.n_seqs, self.n_frames, self.shape_prior)
 
     def _total_loss(self, params, weights: StageWeights, visibility, data=None):
         total, objs = forward_losses_many(
@@ -184,29 +201,9 @@ class BatchedFitter(SmalFitter):
     def forward_frames(self):
         """SMIL forward for all sequences/frames: (S, N, V, 3), (S, N, J, 3)."""
         S, N, J = self.n_seqs, self.n_frames, self.spec.n_joints
-
-        def flat(x):
-            return x.reshape((S * N,) + x.shape[2:])
-
-        theta = jnp.concatenate(
-            [self.params.global_rot[:, :, None, :], self.params.joint_rot], axis=2
+        verts, joints, _, _ = _batched_smil_forward(
+            self.spec, self.params, self.allow_limb_scaling
         )
-        log_scales = (
-            jnp.broadcast_to(self.params.log_beta_scales[:, None], (S, N, J, 3))
-            if self.allow_limb_scaling else None
-        )
-        joint_trans = jnp.broadcast_to(self.params.joint_trans[:, None], (S, N, J, 3))
-        betas = jnp.broadcast_to(
-            self.params.betas[:, None, :], (S, N, self.params.betas.shape[-1])
-        )
-        out = smil_forward(
-            self.spec, flat(betas), flat(theta),
-            log_scales=None if log_scales is None else flat(log_scales),
-            joint_trans=flat(joint_trans),
-        )
-        trans_f = flat(self.params.trans)
-        verts = out.verts + trans_f[:, None, :]
-        joints = out.joints + trans_f[:, None, :]
         V = verts.shape[1]
         return verts.reshape(S, N, V, 3), joints.reshape(S, N, J, 3)
 
@@ -216,7 +213,7 @@ class BatchedFitter(SmalFitter):
         return jax.tree.map(lambda x: x[s], self.params)
 
 
-class ShardedBatchedFitter(BatchedFitter):
+class ShardedBatchedFitter(ShardedFitterMixin, BatchedFitter):
     """:class:`BatchedFitter` with the sequence axis sharded over a device
     mesh — the corpus-scale path for TPU pods.
 
@@ -243,6 +240,13 @@ class ShardedBatchedFitter(BatchedFitter):
                 f"{self.n_seqs} clips not divisible by {n_dev} devices — pad "
                 f"the corpus (cli/optimize_corpus.py --shard does this)"
             )
+        self._globalize_inputs()
+
+    def _param_specs(self):
+        from jax.sharding import PartitionSpec
+
+        CLIP = PartitionSpec(self._clips_axis)
+        return jax.tree.map(lambda _: CLIP, self.params), CLIP
 
     def _jit_step(self, one_step, chunk: int):
         from jax import shard_map
@@ -305,7 +309,7 @@ class ShardedBatchedFitter(BatchedFitter):
         return step
 
 
-class GridShardedFitter(BatchedFitter):
+class GridShardedFitter(ShardedFitterMixin, BatchedFitter):
     """:class:`BatchedFitter` over a 2-D ``('clips', 'frames')`` mesh — a
     corpus of LONG clips partitioned along both axes at once.
 
@@ -334,15 +338,20 @@ class GridShardedFitter(BatchedFitter):
                 f"corpus ({self.n_seqs} clips × {self.n_frames} frames) not "
                 f"divisible by the ({Dc} × {Df}) mesh"
             )
+        self._globalize_inputs()
+
+    def _param_specs(self):
+        from jax.sharding import PartitionSpec
+
+        TILE = PartitionSpec("clips", "frames")
+        CLIP = PartitionSpec("clips")
+        return FitParams(global_rot=TILE, joint_rot=TILE, betas=CLIP,
+                         trans=TILE, fov=TILE, log_beta_scales=CLIP,
+                         joint_trans=CLIP), TILE
 
     def _local_loss(self, params, weights: StageWeights, visibility, data):
         """Per-tile loss whose 2-axis psum (and gradients, after the 'frames'
         psum on shared leaves) equal the unsharded batched fit exactly."""
-        from smilify_tpu.fitter.fitter_frames import (
-            _FRAME_MEAN_TERMS,
-            temporal_losses_halo,
-        )
-
         Df = jax.lax.axis_size("frames")
         _, objs = forward_losses_many(
             self.spec, params, data, weights,
@@ -376,12 +385,8 @@ class GridShardedFitter(BatchedFitter):
         from jax.sharding import PartitionSpec
 
         mesh = self.mesh
-        TILE = PartitionSpec("clips", "frames")   # (S, N, ...) leaves
-        CLIP = PartitionSpec("clips")             # per-clip shared (S, ...)
+        P_SPECS, TILE = self._param_specs()
         REPL = PartitionSpec()
-        P_SPECS = FitParams(global_rot=TILE, joint_rot=TILE, betas=CLIP,
-                            trans=TILE, fov=TILE, log_beta_scales=CLIP,
-                            joint_trans=CLIP)
 
         tx = optax.scale_by_adam(b1=0.5, b2=0.999)
 
@@ -393,11 +398,7 @@ class GridShardedFitter(BatchedFitter):
 
             (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             # per-clip shared leaves: sum the frame-shard partials
-            grads = grads.replace(
-                betas=jax.lax.psum(grads.betas, "frames"),
-                log_beta_scales=jax.lax.psum(grads.log_beta_scales, "frames"),
-                joint_trans=jax.lax.psum(grads.joint_trans, "frames"),
-            )
+            grads = psum_shared_grads(grads, "frames")
             loss = jax.lax.psum(loss, ("clips", "frames"))
             objs = jax.tree.map(lambda v: jax.lax.psum(v, ("clips", "frames")), objs)
             return loss, objs, grads

@@ -46,6 +46,52 @@ from smilify_tpu.fitter.stages import StageWeights
 # temporal terms are sums over frames/pairs and psum as-is
 _FRAME_MEAN_TERMS = frozenset({"joint", "limit", "pose", "betas", "sil_reproj"})
 
+# FitParams leaves shared across the frame axis — the only gradients that
+# need a collective when frames are sharded
+_SHARED_PARAM_FIELDS = ("betas", "log_beta_scales", "joint_trans")
+
+
+def psum_shared_grads(grads: FitParams, axis_name: str) -> FitParams:
+    """Sum the frame-shard partial gradients of the sequence-shared leaves —
+    the one collective in a frame-sharded backward."""
+    return grads.replace(
+        **{f: jax.lax.psum(getattr(grads, f), axis_name) for f in _SHARED_PARAM_FIELDS}
+    )
+
+
+class ShardedFitterMixin:
+    """Multi-host input placement shared by every sharded fitter.
+
+    Single-process runs (including the 8-virtual-device test meshes) are
+    untouched. When ``jax.distributed`` is initialized and the mesh spans
+    several hosts, committed process-local arrays cannot feed a jitted
+    shard_map — ``_globalize_inputs`` reassembles the full per-host copies
+    into global jax.Arrays (every CLI loads the whole corpus on each host),
+    and the per-stage optimizer init must run under jit."""
+
+    def _param_specs(self):
+        """(FitParams spec tree, data-leaf spec) for this fitter's layout."""
+        raise NotImplementedError
+
+    def _globalize_inputs(self):
+        if jax.process_count() == 1:
+            return
+        from smilify_tpu.train.multihost import globalize
+
+        p_specs, d_spec = self._param_specs()
+        self.params = globalize(self.params, self.mesh, p_specs)
+        rgb = self.data.rgb  # host-side, viz only — never enters the step
+        data_nd = self.data._replace(rgb=None)
+        self.data = globalize(
+            data_nd, self.mesh, jax.tree.map(lambda _: d_spec, data_nd)
+        )._replace(rgb=rgb)
+        self._torso_visibility = globalize(self._torso_visibility, self.mesh, d_spec)
+
+    def _init_opt_state(self, tx):
+        # eager zeros_like on non-addressable global arrays is rejected
+        # outside jit in multi-host runs
+        return jax.jit(tx.init)(self.params)
+
 
 def temporal_losses_halo(params: FitParams, w_temp, axis_name: str):
     """Sharded analogue of :func:`fitter.temporal_losses`: per-pair MSE summed
@@ -76,7 +122,7 @@ def temporal_losses_halo(params: FitParams, w_temp, axis_name: str):
     return pair_sum(params.joint_rot), pair_sum(params.global_rot), pair_sum(params.trans)
 
 
-class ShardedSequenceFitter(SmalFitter):
+class ShardedSequenceFitter(ShardedFitterMixin, SmalFitter):
     """``SmalFitter`` with the frame axis sharded over a ``('frames',)`` mesh.
 
     Same staged schedule, same numbers (tests/test_fitter_frames.py), but a
@@ -97,6 +143,16 @@ class ShardedSequenceFitter(SmalFitter):
                 f"{self.n_frames} frames not divisible by {n_dev} devices — "
                 f"pad the sequence (repeat trailing frames with visibility 0)"
             )
+        self._globalize_inputs()
+
+    def _param_specs(self):
+        from jax.sharding import PartitionSpec
+
+        FRAME = PartitionSpec(self._frames_axis)
+        REPL = PartitionSpec()
+        return FitParams(global_rot=FRAME, joint_rot=FRAME, betas=REPL,
+                         trans=FRAME, fov=FRAME, log_beta_scales=REPL,
+                         joint_trans=REPL), FRAME
 
     def _local_loss(self, params, weights: StageWeights, visibility, data):
         """Per-shard loss whose psum AND per-frame/psum-ed-shared gradients
@@ -130,11 +186,8 @@ class ShardedSequenceFitter(SmalFitter):
         from jax.sharding import PartitionSpec
 
         mesh, axis = self.mesh, self._frames_axis
-        FRAME = PartitionSpec(axis)
+        P_SPECS, FRAME = self._param_specs()
         REPL = PartitionSpec()
-        P_SPECS = FitParams(global_rot=FRAME, joint_rot=FRAME, betas=REPL,
-                            trans=FRAME, fov=FRAME, log_beta_scales=REPL,
-                            joint_trans=REPL)
 
         tx = optax.scale_by_adam(b1=0.5, b2=0.999)
 
@@ -145,12 +198,7 @@ class ShardedSequenceFitter(SmalFitter):
                 return self._local_loss(p, weights, visibility, data)
 
             (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            # the one collective in the backward: shared-parameter gradients
-            grads = grads.replace(
-                betas=jax.lax.psum(grads.betas, axis),
-                log_beta_scales=jax.lax.psum(grads.log_beta_scales, axis),
-                joint_trans=jax.lax.psum(grads.joint_trans, axis),
-            )
+            grads = psum_shared_grads(grads, axis)
             loss = jax.lax.psum(loss, axis)
             objs = jax.tree.map(lambda v: jax.lax.psum(v, axis), objs)
             return loss, objs, grads

@@ -96,3 +96,44 @@ def primary_only(fn):
     wrapped.__name__ = getattr(fn, "__name__", "primary_only")
     wrapped.__doc__ = fn.__doc__
     return wrapped
+
+
+def globalize(tree, mesh, specs):
+    """Assemble process-local FULL-COPY arrays into global ``jax.Array``s laid
+    out by ``(mesh, specs)``.
+
+    The fitter CLIs load the whole corpus on every host; when the mesh spans
+    multiple processes, committed single-host arrays cannot be fed to a jitted
+    shard_map directly — each process must serve its addressable shards, which
+    ``jax.make_array_from_callback`` does from the local full copy. No-op in
+    single-process runs (specs may be None leaves for None subtrees).
+    """
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return tree
+    from jax.sharding import NamedSharding
+
+    def place(x, spec):
+        if x is None:
+            return None
+        arr = np.asarray(x)
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+    return jax.tree.map(place, tree, specs)
+
+
+def allgather(tree):
+    """The full global value of (possibly non-addressable, multi-host-sharded)
+    arrays as host numpy on EVERY process. All processes must call this
+    together (it is a collective); gate only the subsequent host-side write to
+    process 0. Single-process: a plain device_get."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree)
