@@ -488,7 +488,8 @@ class ShardedStageManager(StageManager):
     ``psum``-ed. The per-scan point-sampling keys are split from the stage key
     GLOBALLY (outside the shard_map) and sharded as data, so each device draws
     exactly the samples the unsharded batch would — trajectories match the
-    single-device run (``tests/test_fitter3d.py::test_sharded_scan_registration``).
+    single-device run
+    (``tests/test_fitter3d.py::test_sharded_scan_registration_matches_single``).
     """
 
     def __init__(self, spec, targets: TargetMeshes, params=None, seed: int = 0,
