@@ -92,6 +92,10 @@ def main(argv=None):
 
     maybe_initialize_multihost(args.multihost)
 
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
     from smilify_tpu.core.spec import load_model_spec
     from smilify_tpu.fitter.fitter3d import (
         ShardedStageManager,

@@ -108,6 +108,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
     from smilify_tpu.core.spec import load_model_spec
     from smilify_tpu.fitter.fitter import FitData, render_frame
     from smilify_tpu.fitter.fitter_batch import BatchedFitter

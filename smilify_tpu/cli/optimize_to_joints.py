@@ -79,6 +79,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
     from smilify_tpu.core.spec import load_model_spec
     from smilify_tpu.data.loaders import load_badja_sequence, load_smil_sequence, load_stanford_sequence
     from smilify_tpu.fitter.fitter import FitData, SmalFitter, render_frame

@@ -77,9 +77,66 @@ def init_params(spec: ModelSpec, n_frames: int, shape_prior: ShapePrior, fov: fl
         joint_rot=jnp.zeros((n_frames, spec.n_joints - 1, 3)),
         betas=jnp.asarray(shape_prior.mean_betas),
         trans=jnp.zeros((n_frames, 3)),
-        fov=jnp.full((n_frames,), fov),
+        # explicit dtype: a weak-typed leaf (python-scalar fill) becomes strong
+        # after one optimizer step, changing the jit signature and forcing a
+        # second compile of every step function (measured ~7 s each on v5e)
+        fov=jnp.full((n_frames,), fov, dtype=jnp.float32),
         log_beta_scales=jnp.zeros((spec.n_joints, 3)),
         joint_trans=jnp.zeros((spec.n_joints, 3)),
+    )
+
+
+def synthetic_fit_data(
+    spec: ModelSpec,
+    n_frames: int,
+    image_size: Tuple[int, int],
+    seed: int = 42,
+    fov: float = 60.0,
+    use_pallas: Optional[bool] = None,
+) -> FitData:
+    """Reachable ground-truth fit targets: perturbed poses of ``spec`` rendered
+    to binary silhouettes plus projected (y, x) joints — the production fitting
+    workload (what ``optimize_to_joints`` sees on real data).
+
+    Benchmarks MUST fit this, not random noise: a noise silhouette drags the
+    mesh until it covers the whole image, at which point the raster's spatial
+    culling and saturation early-outs stop firing and the measured step is
+    ~3-4x slower than the same step on any real fit (measured on v5e: 176 →
+    57 it/s over 80 iterations against a noise target; flat on this target).
+    """
+    rng = np.random.RandomState(seed)
+    J = spec.n_joints
+    g0 = _default_global_rotation()
+    theta = np.zeros((n_frames, J, 3), np.float32)
+    theta[:, 0] = g0 + rng.uniform(-0.15, 0.15, (n_frames, 3))
+    theta[:, 1:] = rng.uniform(-0.06, 0.06, (n_frames, J - 1, 3))
+    betas = spec.shape_mean_betas[None] + 0.3 * rng.uniform(
+        -0.5, 0.5, (n_frames, spec.n_betas)
+    ).astype(np.float32)
+    trans = rng.uniform(-0.05, 0.05, (n_frames, 3)).astype(np.float32)
+
+    cam = default_camera(fov=fov)
+
+    @jax.jit
+    def _gt(betas, theta, trans):
+        out = smil_forward(spec, betas, theta)
+        verts = out.verts + trans[:, None]
+        joints3d = out.joints + trans[:, None]
+        proj = jax.vmap(lambda j: cam.project_points_yx(j, image_size))(joints3d)
+        pv = jax.vmap(cam.world_to_view)(verts)
+        ndc = jax.vmap(cam.view_to_ndc)(pv)
+        vb = jnp.concatenate([ndc[..., :2], pv[..., 2:3]], axis=-1)
+        sil = soft_silhouette(
+            vb, spec.faces, image_size, znear=cam.znear, use_pallas=use_pallas
+        )
+        return (sil > 0.5).astype(jnp.float32), proj
+
+    sil, proj = _gt(jnp.asarray(betas), jnp.asarray(theta), jnp.asarray(trans))
+    return FitData(
+        rgb=None,
+        sil=sil,
+        joints=proj,
+        visibility=jnp.ones((n_frames, J), jnp.float32),
     )
 
 

@@ -153,26 +153,25 @@ def bench_fitter_step(spec, n_frames=1, approx_max_faces=None, vpu_peak_gflops=N
     # same as bench.py, abbreviated
     import optax
 
-    from smilify_tpu.fitter.fitter import FitData, forward_losses, init_params, temporal_losses
+    from smilify_tpu.fitter.fitter import (
+        forward_losses, init_params, synthetic_fit_data, temporal_losses,
+    )
     from smilify_tpu.fitter.priors import default_limit_prior, default_pose_prior, shape_prior_from_spec
     from smilify_tpu.fitter.stages import OPT_WEIGHTS
 
     sp = shape_prior_from_spec(spec)
     pp = default_pose_prior(spec)
     lp = default_limit_prior(spec)
-    rng = np.random.RandomState(0)
     H = W = 512
     N = n_frames
-    params = init_params(spec, N, sp)
-    data = FitData(
-        rgb=None,
-        sil=jnp.asarray((rng.rand(N, H, W) > 0.7).astype(np.float32)),
-        joints=jnp.asarray(rng.rand(N, spec.n_joints, 2).astype(np.float32) * H),
-        visibility=jnp.ones((N, spec.n_joints)),
-    )
+    params0 = init_params(spec, N, sp)
+    # reachable rendered-GT targets — the production workload (fitting noise
+    # degrades the raster's spatial culling and measures that instead; see
+    # fitter.synthetic_fit_data)
+    data = synthetic_fit_data(spec, N, (H, W))
     weights = OPT_WEIGHTS[1]
     tx = optax.adam(weights.lr, b1=0.5)
-    opt_state = tx.init(params)
+    params, opt_state = params0, tx.init(params0)
 
     def loss_fn(p):
         total, _ = forward_losses(spec, p, data, weights, pp, lp, sp, (H, W),
@@ -210,8 +209,9 @@ def bench_fitter_step(spec, n_frames=1, approx_max_faces=None, vpu_peak_gflops=N
         (p, s), losses = jax.lax.scan(body, (p, s), None, length=CHUNK)
         return p, s, losses[-1]
 
-    for _ in range(2):
-        params, opt_state, loss = chained(params, opt_state)
+    # fresh params: time the same iteration range as the single-dispatch phase
+    params, opt_state = params0, tx.init(params0)
+    params, opt_state, loss = chained(params, opt_state)
     loss.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(4):
