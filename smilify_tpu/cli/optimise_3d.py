@@ -76,8 +76,9 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=100,
                     help="targets per optimization batch (-1 = all at once)")
     ap.add_argument("--num_samples", type=int, default=3000)
-    ap.add_argument("--iter-chunk", type=int, default=1,
-                    help="optimization iterations per device dispatch (lax.scan chain)")
+    ap.add_argument("--iter-chunk", type=int, default=10,
+                    help="optimization iterations per device dispatch "
+                         "(lax.scan chain; 1 = dispatch every iteration)")
     ap.add_argument("--shard", action="store_true",
                     help="shard the scan axis over ALL devices (shard_map; "
                          "each batch is padded to a device-count multiple by "

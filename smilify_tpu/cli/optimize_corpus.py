@@ -85,8 +85,9 @@ def main(argv=None):
     ap.add_argument("--walking-prior", default=None, metavar="PKL")
     ap.add_argument("--approx-max-faces", type=int, default=None,
                     help="work-list raster per-tile z-nearest face cap")
-    ap.add_argument("--iter-chunk", type=int, default=1,
-                    help="optimization iterations per device dispatch (lax.scan chain)")
+    ap.add_argument("--iter-chunk", type=int, default=10,
+                    help="optimization iterations per device dispatch "
+                         "(lax.scan chain; 1 = dispatch every iteration)")
     ap.add_argument("--shard", action="store_true",
                     help="shard the clip axis over ALL devices "
                          "(shard_map; corpus is padded by repeating clips to a "

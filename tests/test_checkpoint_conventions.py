@@ -248,3 +248,72 @@ def make_train_step_ref(*a, **kw):
     from smilify_tpu.train.trainer import make_train_step
 
     return make_train_step(*a, **kw)
+
+
+def test_resume_round_trip(tmp_path):
+    """try_resume restores params/batch_stats/opt_state and picks the next
+    epoch + history from the sidecar meta (reference --resume_checkpoint,
+    README.md:214-220)."""
+    from smilify_tpu.train.trainer import TrainState, save_checkpoint, try_resume
+
+    cfg = _tiny_cfg()
+    saved = TrainState(
+        params={"w": np.full((2, 2), 3.0, np.float32)},
+        batch_stats={"bn": {"mean": np.full((4,), 0.25, np.float32)}},
+        opt_state={"m": np.full((2, 2), 0.5, np.float32)},
+        epoch=4,
+        history=[{"epoch": i, "val_loss": 1.0 - 0.1 * i} for i in range(5)],
+    )
+    save_checkpoint(str(tmp_path), saved, cfg, name="epoch_4")
+
+    fresh = TrainState(
+        params={"w": np.zeros((2, 2), np.float32)},
+        batch_stats={},
+        opt_state=None,
+    )
+    state, start_epoch = try_resume(str(tmp_path), "epoch_4", fresh)
+    assert start_epoch == 5
+    np.testing.assert_array_equal(np.asarray(state.params["w"]), 3.0 * np.ones((2, 2)))
+    np.testing.assert_array_equal(
+        np.asarray(state.batch_stats["bn"]["mean"]), 0.25 * np.ones(4))
+    np.testing.assert_array_equal(np.asarray(state.opt_state["m"]), 0.5 * np.ones((2, 2)))
+    assert [h["epoch"] for h in state.history] == [0, 1, 2, 3, 4]
+
+    # absolute path works too
+    state2, e2 = try_resume("/nonexistent", str(tmp_path / "epoch_4"), fresh)
+    assert e2 == 5
+
+    # no resume requested → untouched state, epoch 0
+    untouched = TrainState(params={"w": np.zeros((2, 2), np.float32)},
+                           batch_stats={}, opt_state=None)
+    state3, e3 = try_resume(str(tmp_path), None, untouched)
+    assert e3 == 0 and state3 is untouched
+
+
+def test_resume_reset_ief_token_embedding(tmp_path):
+    """The checkpoint-migration flag keeps the FRESH init for the IEF
+    estimate-embedding params and restores everything else (reference
+    base_config.py:522)."""
+    from smilify_tpu.train.trainer import TrainState, save_checkpoint, try_resume
+
+    cfg = _tiny_cfg()
+    saved = TrainState(
+        params={"decoder": {"estimate_embed": {"kernel": np.full((3,), 7.0, np.float32)},
+                            "out": {"kernel": np.full((3,), 2.0, np.float32)}}},
+        batch_stats={},
+        opt_state=None,
+        epoch=0,
+    )
+    save_checkpoint(str(tmp_path), saved, cfg, name="ckpt")
+
+    fresh = TrainState(
+        params={"decoder": {"estimate_embed": {"kernel": np.zeros(3, np.float32)},
+                            "out": {"kernel": np.zeros(3, np.float32)}}},
+        batch_stats={},
+        opt_state=None,
+    )
+    state, _ = try_resume(str(tmp_path), "ckpt", fresh, reset_ief_token_embedding=True)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder"]["estimate_embed"]["kernel"]), np.zeros(3))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder"]["out"]["kernel"]), 2.0 * np.ones(3))

@@ -283,17 +283,92 @@ def bench_singleview_inference(spec):
                           n_betas=spec.n_betas, n_joints=spec.n_joints,
                           decoder_dim=256, decoder_depth=4, ief_iters=3)
     model = SMILRegressor(cfg)
-    imgs = jnp.zeros((8, 224, 224, 3))
-    variables = model.init(jax.random.PRNGKey(0), imgs)
+    # jitted init (eager init dispatches thousands of tiny ops — minutes on a
+    # tunneled chip); variables are batch-agnostic, reused across batch sizes
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
 
     @jax.jit
     def infer(imgs):
         (raw, _), _ = model.apply(variables, imgs, train=False, mutable=["batch_stats"])
         return decode_predictions(cfg, raw, spec)
 
-    dt = timeit(infer, imgs, iters=20)
-    return {"batch8_ms": dt * 1000, "images_per_sec": 8 / dt,
-            "backbone": "resnet50", "resolution": 224}
+    out = {"backbone": "resnet50", "resolution": 224}
+    for B in (8, 128):
+        imgs = jnp.zeros((B, 224, 224, 3))
+        dt = timeit(infer, imgs, iters=20)
+        out[f"batch{B}_ms"] = dt * 1000
+        out[f"batch{B}_images_per_sec"] = B / dt
+    out["images_per_sec"] = out["batch128_images_per_sec"]  # serving throughput
+    return out
+
+
+def bench_singleview_train_step(spec):
+    """Full supervised training step (forward + backward + Adam) for the
+    single-view regressor — the reference's train_smil_regressor hot loop
+    (param MSEs + visibility-weighted 2D keypoint loss, its replicAnt
+    synthetic-data recipe)."""
+    import optax
+
+    from smilify_tpu.models.regressor import (
+        RegressorConfig, SMILRegressor, compute_batch_loss, decode_predictions,
+    )
+    from smilify_tpu.train.trainer import make_train_step
+
+    cfg = RegressorConfig(backbone="resnet50", n_pose=spec.n_joints - 1,
+                          n_betas=spec.n_betas, n_joints=spec.n_joints,
+                          decoder_dim=256, decoder_depth=4, ief_iters=3)
+    model = SMILRegressor(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    def apply_fn(variables, batch, train):
+        out, mutated = model.apply(
+            variables, batch["image"], train=train, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        raw, history = out
+        preds = decode_predictions(cfg, raw, spec)
+        preds["ief_history"] = history
+        return preds, mutated.get("batch_stats", {})
+
+    weights = {"global_rot": 1.0, "joint_rot": 1.0, "betas": 0.5, "trans": 1.0,
+               "keypoint_2d": 1.0}
+
+    def loss_fn(preds, batch):
+        targets = {k: batch[k] for k in
+                   ("global_rot", "joint_rot", "betas", "trans",
+                    "keypoints_2d", "kp_visibility")}
+        return compute_batch_loss(spec, cfg, preds, targets, weights,
+                                  image_size=(224, 224))
+
+    step = make_train_step(apply_fn, loss_fn, tx)
+
+    out = {"backbone": "resnet50", "resolution": 224,
+           "losses": "param MSEs + visibility-weighted kp2d"}
+    rng = np.random.RandomState(0)
+    for B in (32, 128):
+        batch = {
+            "image": jnp.asarray(rng.rand(B, 224, 224, 3).astype(np.float32)),
+            "global_rot": jnp.zeros((B, 3)),
+            "joint_rot": jnp.zeros((B, spec.n_joints - 1, 3)),
+            "betas": jnp.asarray(np.tile(spec.shape_mean_betas, (B, 1))),
+            "trans": jnp.zeros((B, 3)),
+            "keypoints_2d": jnp.asarray(rng.rand(B, spec.n_joints, 2).astype(np.float32)),
+            "kp_visibility": jnp.ones((B, spec.n_joints)),
+        }
+        p, bs, s = params, batch_stats, opt_state
+        p, bs, s, loss, _ = step(p, bs, s, batch)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            p, bs, s, loss, _ = step(p, bs, s, batch)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / 10
+        out[f"batch{B}_ms"] = dt * 1000
+        out[f"batch{B}_images_per_sec"] = B / dt
+    return out
 
 
 def bench_multiview_inference(spec, n_views, res, label):
@@ -310,10 +385,10 @@ def bench_multiview_inference(spec, n_views, res, label):
                           ief_iters=3, fusion_heads=4, fusion_layers=2,
                           camera_delta_mode=False)
     model = MultiViewSMILRegressor(cfg)
-    imgs = jnp.zeros((1, n_views, res, res, 3))
-    vm = jnp.ones((1, n_views), bool)
-    cids = jnp.tile(jnp.arange(n_views)[None], (1, 1))
-    variables = model.init(jax.random.PRNGKey(0), imgs, vm, cids)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, n_views, res, res, 3)),
+        jnp.ones((1, n_views), bool), jnp.arange(n_views)[None],
+    )
 
     @jax.jit
     def infer(imgs, vm, cids):
@@ -332,9 +407,16 @@ def bench_multiview_inference(spec, n_views, res, label):
         tri = jax.vmap(lambda n, p: triangulate_dlt(n, p, jnp.ones(n.shape[0], bool)))(ndc, P)
         return kp2d, tri
 
-    dt = timeit(infer, imgs, vm, cids, iters=10)
-    return {f"{label}_ms": dt * 1000, f"{label}_frames_per_sec": 1 / dt,
-            "views": n_views, "resolution": res}
+    out = {"views": n_views, "resolution": res}
+    for B in (1, 8):
+        imgs = jnp.zeros((B, n_views, res, res, 3))
+        vm = jnp.ones((B, n_views), bool)
+        cids = jnp.tile(jnp.arange(n_views)[None], (B, 1))
+        dt = timeit(infer, imgs, vm, cids, iters=10)
+        out[f"{label}_b{B}_ms"] = dt * 1000
+        out[f"{label}_b{B}_frames_per_sec"] = B / dt
+    out[f"{label}_frames_per_sec"] = out[f"{label}_b8_frames_per_sec"]
+    return out
 
 
 def main():
@@ -367,6 +449,8 @@ def main():
         measure_worklist_iou(stick, 700))
     print("4/5 single-view inference ...", flush=True)
     report["config4_singleview_resnet50"] = bench_singleview_inference(stick)
+    print("4b/5 single-view train step ...", flush=True)
+    report["config4b_singleview_train_step"] = bench_singleview_train_step(stick)
     print("5a/5 multi-view 4-cam stick ...", flush=True)
     report["config5a_multiview_4cam_stick"] = bench_multiview_inference(stick, 4, 224, "stick4")
     print("5b/5 multi-view 18-cam mouse ...", flush=True)
