@@ -77,3 +77,36 @@ def test_prior_flags_reach_fitter(tmp_path, stick_spec):
     )
     fitter = SmalFitter(spec, data, (32, 32), pose_prior=pp)
     assert fitter.pose_prior is pp
+
+
+def test_synthetic_fit_data_is_reachable_and_deterministic():
+    """The benchmark fit target (rendered-GT silhouette + projected joints)
+    must look like the production workload: a real on-screen silhouette with
+    sane coverage, joints inside the image, finite everywhere, and
+    deterministic per seed (bench comparability across rounds)."""
+    from smilify_tpu.fitter.fitter import synthetic_fit_data
+    from smilify_tpu.train.multidevice import toy_model_spec
+
+    spec = toy_model_spec()
+    H = W = 64
+    d1 = synthetic_fit_data(spec, 2, (H, W), seed=7)
+    d2 = synthetic_fit_data(spec, 2, (H, W), seed=7)
+
+    sil = np.asarray(d1.sil)
+    assert sil.shape == (2, H, W)
+    assert np.isfinite(sil).all()
+    assert set(np.unique(sil)) <= {0.0, 1.0}  # binary GT mask
+    cov = sil.mean(axis=(1, 2))
+    assert (cov > 0.005).all() and (cov < 0.6).all(), cov  # on-screen, not wall-to-wall
+
+    joints = np.asarray(d1.joints)
+    assert np.isfinite(joints).all()
+    # most joints project inside the image (root-ish joints can clip edges)
+    inside = ((joints >= 0) & (joints < H)).all(axis=-1).mean()
+    assert inside > 0.8, inside
+
+    np.testing.assert_array_equal(sil, np.asarray(d2.sil))
+    np.testing.assert_array_equal(joints, np.asarray(d2.joints))
+    # a different seed gives a different target
+    d3 = synthetic_fit_data(spec, 2, (H, W), seed=8)
+    assert not np.array_equal(np.asarray(d3.joints), joints)
