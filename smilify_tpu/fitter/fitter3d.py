@@ -299,13 +299,15 @@ class StageManager:
         lw = dict(stage.loss_weights)
         ns = stage.num_samples
 
-        def loss_fn(params, key):
+        def loss_fn(params, key, targets):
             return registration_losses(
-                self.spec, self.topo, params, self.targets, key, lw, num_samples=ns
+                self.spec, self.topo, params, targets, key, lw, num_samples=ns
             )
 
-        def one_step(params, opt_state, sub):
-            (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, sub)
+        def one_step(params, opt_state, sub, targets):
+            (loss, objs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, sub, targets
+            )
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss, objs
 
@@ -338,20 +340,25 @@ class StageManager:
     def _jit_step(self, one_step, chunk: int):
         """Compile one_step (or a chunk-long scan of it) with the PRNG-key
         recurrence outside the body, so chunked and per-iteration trajectories
-        match exactly."""
+        match exactly.
+
+        ``targets`` rides through as a jit ARGUMENT, never a closure: baking
+        the scan batch into the executable as constants both bloats compiles
+        and exposes the target-mesh sampling subtree to XLA's (buggy, see
+        ops/mesh_ops.py sampling note) constant folding of batched gathers."""
         if chunk == 1:
             @jax.jit
-            def step(params, opt_state, key):
+            def step(params, opt_state, key, targets):
                 key, sub = jax.random.split(key)
-                params, opt_state, loss, objs = one_step(params, opt_state, sub)
+                params, opt_state, loss, objs = one_step(params, opt_state, sub, targets)
                 return params, opt_state, key, loss, objs
         else:
             @jax.jit
-            def step(params, opt_state, key):
+            def step(params, opt_state, key, targets):
                 def body(carry, _):
                     params, opt_state, key = carry
                     key, sub = jax.random.split(key)
-                    params, opt_state, loss, objs = one_step(params, opt_state, sub)
+                    params, opt_state, loss, objs = one_step(params, opt_state, sub, targets)
                     return (params, opt_state, key), (loss, objs)
 
                 (params, opt_state, key), (losses, objs) = jax.lax.scan(
@@ -365,6 +372,7 @@ class StageManager:
         """Run all stages. ``chunk`` scans that many iterations per device
         dispatch (dispatch-latency amortization; per-iteration loss history
         and callbacks are preserved, read back once per chunk)."""
+        targets_arg = self.targets._replace(names=())  # names: static metadata
         for stage in self.stages:
             c = max(1, min(int(chunk), stage.n_its or 1))
             tx, step = self._make_step(stage, c)
@@ -374,14 +382,14 @@ class StageManager:
             while it < stage.n_its:
                 if stage.n_its - it >= c:
                     self.params, opt_state, self.key, losses, objs = step(
-                        self.params, opt_state, self.key
+                        self.params, opt_state, self.key, targets_arg
                     )
                     n = c
                 else:
                     if step1 is None:
                         _, step1 = self._make_step(stage, 1)
                     self.params, opt_state, self.key, losses, objs = step1(
-                        self.params, opt_state, self.key
+                        self.params, opt_state, self.key, targets_arg
                     )
                     n = 1
                 if c == 1 or n == 1:
@@ -546,7 +554,6 @@ class ShardedStageManager(StageManager):
         REPL = PartitionSpec()
         D = mesh.devices.size
         B = self.targets.verts.shape[0]
-        targets_arg = self.targets._replace(names=())  # names: static metadata
         t_specs = TargetMeshes(verts=SCAN, verts_mask=SCAN, faces=SCAN,
                                faces_mask=SCAN, names=())
 
@@ -570,14 +577,14 @@ class ShardedStageManager(StageManager):
             objs = jax.tree.map(lambda v: jax.lax.psum(v, axis), objs)
             return loss, objs, grads
 
-        def one_step(params, opt_state, sub):
+        def one_step(params, opt_state, sub, targets):
             # the GLOBAL key split of registration_losses, sharded as data
             sample_keys = jax.random.split(sub, 2 * B).reshape(B, 2, -1)
             # check_vma=False: see fitter_batch.ShardedBatchedFitter._jit_step
             loss, objs, grads = shard_map(
                 grad_body, mesh=mesh, in_specs=(SCAN, SCAN, t_specs),
                 out_specs=(REPL, REPL, SCAN), check_vma=False,
-            )(params, sample_keys, targets_arg)
+            )(params, sample_keys, targets)
             # elementwise multi-group update outside the shard_map
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss, objs

@@ -174,7 +174,23 @@ def sample_points_from_meshes(
 
     Differentiable wrt ``verts`` (face choice is detached; barycentric
     interpolation carries gradients).
+
+    Face choice uses inverse-CDF sampling (cumsum + searchsorted) rather than
+    ``jax.random.categorical``: the Gumbel-max trick materializes an
+    (S × F) noise matrix — ~33M threefry values per call at the registration
+    fitter's 3000×10878 — where the CDF walk needs only S uniforms. Zero-area
+    (padded/degenerate) faces occupy empty CDF intervals so they are never
+    selected, matching the categorical's −inf-logit behavior.
     """
+    # XLA's constant-folding evaluator disagrees with the runtime lowering of
+    # *batched* (vmap-derived) gathers: when verts AND faces are both jit-time
+    # constants (e.g. target meshes closed over by a fitter step), the folded
+    # v0/v1/v2 keep only component 0 and zero the rest, silently corrupting
+    # every downstream loss (observed on CPU and TPU backends, jax 0.9.0; see
+    # tests/test_ops.py::test_sampling_constant_folding_guard). The barrier
+    # keeps `faces` out of the foldable constant subtree; it is index data on
+    # no gradient path, so this costs nothing at runtime.
+    faces = jax.lax.optimization_barrier(faces)
     v0 = verts[faces[:, 0]]
     v1 = verts[faces[:, 1]]
     v2 = verts[faces[:, 2]]
@@ -183,7 +199,9 @@ def sample_points_from_meshes(
     probs = areas / jnp.maximum(areas.sum(), 1e-12)
 
     k1, k2 = jax.random.split(key)
-    fidx = jax.random.categorical(k1, jnp.log(jnp.maximum(probs, 1e-30)), shape=(num_samples,))
+    cdf = jnp.cumsum(jax.lax.stop_gradient(probs))
+    r = jax.random.uniform(k1, (num_samples,)) * cdf[-1]
+    fidx = jnp.clip(jnp.searchsorted(cdf, r), 0, faces.shape[0] - 1)
     u = jax.random.uniform(k2, (num_samples, 2))
     su = jnp.sqrt(u[:, 0:1])
     w0 = 1.0 - su

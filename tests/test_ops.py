@@ -48,6 +48,21 @@ def test_knn_matches_bruteforce():
     np.testing.assert_allclose(np.asarray(res.knn), y[idx_true], atol=1e-6)
 
 
+def test_knn_tiled_path_matches_oneshot():
+    """Force the tiled (lax.map) path with a tiny oneshot budget; results and
+    gradients must match the one-shot path exactly (incl. the ragged tail)."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(70, 3).astype(np.float32))
+    y = jnp.asarray(rng.randn(50, 3).astype(np.float32))
+    one = knn_points(x, y, K=3)
+    tiled = knn_points(x, y, K=3, tile=32, oneshot_elems=1)
+    np.testing.assert_array_equal(np.asarray(one.idx), np.asarray(tiled.idx))
+    np.testing.assert_allclose(np.asarray(one.dists), np.asarray(tiled.dists), atol=1e-6)
+    g1 = jax.grad(lambda a: jnp.mean(knn_points(a, y, K=1).dists))(x)
+    g2 = jax.grad(lambda a: jnp.mean(knn_points(a, y, K=1, tile=32, oneshot_elems=1).dists))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
 def test_knn_mask():
     rng = np.random.RandomState(1)
     x = rng.randn(10, 3).astype(np.float32)
@@ -171,3 +186,50 @@ def test_thinness_scores_flat_vs_thin():
     assert s_flat.max() < 1e-5
     assert s_zig.mean() > 0.1
     assert s_zig.mean() > s_flat.mean() + 0.1
+
+
+def test_sampling_constant_folding_guard():
+    """jit must match eager when batched verts+faces are closed-over constants.
+
+    XLA's constant-folding evaluator mis-folds *batched* gathers (vmap-derived
+    gather dimension numbers): v[f[:, 0]] over constant operands keeps only
+    component 0 and zeroes the rest — on CPU and TPU backends (jax 0.9.0).
+    This is exactly the shape of a fitter step that closes over its target
+    meshes, and it silently corrupted every loss downstream. Guarded by the
+    optimization_barrier in sample_points_from_meshes; this test is the
+    distilled repro and must stay green if that barrier is ever removed.
+    """
+    rng = np.random.RandomState(7)
+    verts = jnp.asarray(rng.randn(1, 60, 3).astype(np.float32))
+    faces = jnp.asarray(rng.randint(0, 60, (1, 40, 3)).astype(np.int32))
+    key = jax.random.PRNGKey(0)
+
+    def sample(v, f):
+        return sample_points_from_meshes(v, f, 200, key)
+
+    eager = jax.vmap(sample)(verts, faces)
+    # closed-over constants + an unused traced arg → the whole sampling
+    # subtree is foldable; without the barrier this returns garbage
+    jitted = jax.jit(lambda _: jax.vmap(sample)(verts, faces))(0.0)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-6)
+
+
+def test_knn_envelope_gradient_matches_full():
+    """The envelope-gradient KNN (selection under stop_gradient, distances
+    recomputed from the gather) must produce the same chamfer gradients as
+    differentiating through the full distance matrix."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(40, 3).astype(np.float32))
+    y = jnp.asarray(rng.randn(50, 3).astype(np.float32)) + 0.3
+
+    def chamfer(a, b):
+        return jnp.mean(knn_points(a, b, K=1).dists) + jnp.mean(knn_points(b, a, K=1).dists)
+
+    def chamfer_full(a, b):
+        d = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, -1)
+        return jnp.mean(d.min(1)) + jnp.mean(d.min(0))
+
+    gx, gy = jax.grad(chamfer, argnums=(0, 1))(x, y)
+    fx, fy = jax.grad(chamfer_full, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(fx), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(fy), rtol=1e-4, atol=1e-6)
