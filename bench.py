@@ -34,7 +34,7 @@ file): SMIL forward 22× (0.58 ms vs 13.0 ms), forward+backward 31× at batch 1,
 
 import json
 import os
-import time
+import sys
 
 os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
 
@@ -138,31 +138,29 @@ def main():
         (p, s), losses = jax.lax.scan(body, (p, s), None, length=CHUNK)
         return p, s, losses[-1]
 
-    # each phase starts from FRESH params + opt state so both measure the
-    # same iteration range of the same fit (timing windows at different
-    # optimization depths are not comparable)
-    params, opt_state = params0, tx.init(params0)
-    for _ in range(WARMUP):
-        params, opt_state, loss = step(params, opt_state)
-    loss.block_until_ready()
+    # Timing methodology (measured necessity on this box, see
+    # docs/PERFORMANCE.md §Measurement rules and tools/_timing.py): loops
+    # must be DEPENDENT chains (optimizer state feeds back — they are), must
+    # end in a host VALUE fetch (block_until_ready can return before
+    # execution completes on the tunneled platform), and are measured at two
+    # chain lengths, repeated, with the MEDIAN slope cancelling both the
+    # ~20-40 ms tunnel-sync latency and the shared chip's rare hiccups.
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from _timing import timeit_chain
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, opt_state, loss = step(params, opt_state)
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
-    single_iters_per_sec = ITERS / dt
+    def as_chain(step_once):
+        def chain(state):
+            p, s = state
+            p, s, _ = step_once(p, s)
+            return p, s
 
-    params, opt_state = params0, tx.init(params0)
-    params, opt_state, loss = chained(params, opt_state)
-    loss.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(ITERS // CHUNK + 1):
-        params, opt_state, loss = chained(params, opt_state)
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
+        return chain
 
-    iters_per_sec = (ITERS // CHUNK + 1) * CHUNK / dt
+    state0 = (params0, tx.init(params0))
+    single_iters_per_sec = 1.0 / timeit_chain(
+        as_chain(step), state0, n1=ITERS // 3, n2=ITERS, warmup=WARMUP)
+    iters_per_sec = CHUNK / timeit_chain(
+        as_chain(chained), state0, n1=1, n2=4, warmup=1)
     print(
         json.dumps(
             {
@@ -178,7 +176,9 @@ def main():
                 # spatial culling within ~50 iterations and measure that
                 # degradation instead of the step) — compare across rounds via
                 # single_dispatch_iters_per_sec
-                "measurement_change_r03": "headline=10-iter chained dispatch, rendered-GT target",
+                "measurement_change_r03": "headline=10-iter chained dispatch, rendered-GT target, "
+                                          "two-length slope timing w/ value-fetch sync "
+                                          "(block_until_ready returns early on the tunneled platform)",
                 **BASELINE_CAVEATS,
             }
         )

@@ -9,6 +9,13 @@ Writes BENCH_DETAIL.json with per-config throughput:
      per-camera projection + DLT triangulation)
 
 Usage: python tools/bench_all.py  (single process; owns the TPU)
+
+Measurement methodology (see timeit_chain): every timed loop is a DEPENDENT
+chain (each dispatch consumes the previous one's output), ends in a host
+value fetch, and is measured at two chain lengths so the slope cancels the
+tunnel-sync latency. Anything weaker mis-measures on this box: the tunneled
+runtime acknowledges ``block_until_ready`` before execution finishes and can
+elide repeated identical dispatches whose results are never fetched.
 """
 
 import json
@@ -17,6 +24,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
 
 import numpy as np
@@ -30,15 +38,7 @@ MOUSE = "/root/reference/3D_model_prep/SMILy_Mouse_static_joints.pkl"
 ATTA = "/root/reference/fitter_3d/ATTA_BOI/Atta_vollenweideri_1_mg_worker.obj"
 
 
-def timeit(fn, *args, warmup=3, iters=20):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out)
-    return (time.perf_counter() - t0) / iters
+from _timing import timeit_chain  # noqa: E402  (sibling module; see its docstring)
 
 
 def bench_forward(spec):
@@ -49,8 +49,18 @@ def bench_forward(spec):
         rng = np.random.RandomState(0)
         betas = jnp.asarray(rng.randn(batch, spec.n_betas).astype(np.float32) * 0.3)
         theta = jnp.asarray(rng.randn(batch, spec.n_joints, 3).astype(np.float32) * 0.1)
-        fn = jax.jit(lambda b, t: smil_forward(spec, b, t).verts)
-        dt = timeit(fn, betas, theta, iters=50)
+
+        @jax.jit
+        def chain(carry):
+            b, t = carry
+            verts = smil_forward(spec, b, t).verts
+            # fold the output back in so every iteration is a fresh dependent
+            # dispatch; the multiplicative term guarantees the value CHANGES
+            # (an additive epsilon can round away, leaving bitwise-identical
+            # chains the runtime may dedup — see _timing docstring)
+            return b * (1.0 - 1e-5) + jnp.mean(verts) * 1e-7, t
+
+        dt = timeit_chain(chain, (betas, theta), n1=64, n2=256)
         res[f"b{batch}_ms"] = dt * 1000
         res[f"b{batch}_samples_per_sec"] = batch / dt
     return res
@@ -84,45 +94,60 @@ def bench_fitter3d(spec):
         return optax.apply_updates(params, updates), opt_state, loss
 
     key = jax.random.PRNGKey(0)
-    # chained steady-state loop (the real optimization workload)
-    for _ in range(3):
-        params, opt_state, loss = step(params, opt_state, key)
-    loss.block_until_ready()
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        params, opt_state, loss = step(params, opt_state, key)
-    loss.block_until_ready()
-    dt = (time.perf_counter() - t0) / n
+
+    def chain(state):
+        params, opt_state = state
+        params, opt_state, _ = step(params, opt_state, key)
+        return params, opt_state
+
+    dt = timeit_chain(chain, (params, opt_state), n1=10, n2=40, warmup=3)
     return {"step_ms": dt * 1000, "iters_per_sec": 1 / dt,
             "target_verts": int(v.shape[0]), "samples": 3000}
 
 
 def measure_vpu_peak_gflops():
-    """Empirical VPU f32 FMA peak: a 64-deep fused multiply-add chain over a
-    large array is ~32 flops/byte — compute-bound on the VPU, so its rate IS
-    the practical ceiling for elementwise kernels. Used as the MFU
+    """Empirical VPU f32 peak via a Pallas kernel: each grid cell holds a
+    (256, 1024) f32 tile in VMEM and runs ``reps`` rounds of 4 independent
+    FMA streams — one HBM read+write total, so the rate is pure VPU compute.
+    An XLA elementwise chain is NOT a valid peak probe here: partial fusion
+    round-trips HBM between fusion sections and measures bandwidth instead
+    (a 2048-op logistic map "measured" 291 GFLOP/s). Used as the MFU
     denominator (the raster is VPU-bound: no matmuls, all elementwise)."""
-    x = jnp.full((2048, 2048), 0.5, jnp.float32)
-    reps = 2048  # ~26 GFLOP/call: deep in the compute-bound regime (smaller
-    # rep counts undermeasure behind the tunnel's dispatch/async floor)
+    from jax.experimental import pallas as pl
 
-    # NONLINEAR recurrence (logistic map) — an affine chain would be
-    # algebraically folded by XLA into one op (measured 165 "TFLOP/s")
-    @jax.jit
-    def chain(x):
-        for _ in range(reps):
-            x = 3.7 * x * (1.0 - x)  # 2 mul + 1 sub = 3 flops
-        return x
+    # swept on v5e: (32,1024)×32 streams maximizes the FMA pipeline within
+    # the 16 MB scoped-VMEM budget (1004 GFLOP/s; bigger tiles or fewer
+    # streams measure 590-980)
+    TILE = (32, 1024)
+    GRID = 64
+    reps = 128
+    streams = 32
 
-    chain(x).block_until_ready()
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        x = chain(x)
-    x.block_until_ready()
-    dt = (time.perf_counter() - t0) / n
-    return 3 * reps * x.size / dt / 1e9
+    def kernel(x_ref, o_ref):
+        x = x_ref[...]
+        accs = tuple(x * (1.0 + 0.1 * i) for i in range(streams))
+
+        def body(_, accs):
+            return tuple(a * jnp.float32(0.999999) + jnp.float32(1e-9)
+                         for a in accs)
+
+        accs = jax.lax.fori_loop(0, reps, body, accs)
+        acc = accs[0]
+        for a in accs[1:]:
+            acc = acc + a
+        o_ref[...] = acc
+
+    x = jnp.full((GRID * TILE[0], TILE[1]), 0.5, jnp.float32)
+    fn = jax.jit(pl.pallas_call(
+        kernel,
+        grid=(GRID,),
+        in_specs=[pl.BlockSpec(TILE, lambda i: (i, 0))],
+        out_specs=pl.BlockSpec(TILE, lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    ))
+    # self-chaining: the output feeds the next call and drifts multiplicatively
+    dt = timeit_chain(fn, x, n1=4, n2=16)
+    return streams * 2 * reps * x.size / dt / 1e9
 
 
 def measure_worklist_iou(spec, cap, size=512):
@@ -185,15 +210,12 @@ def bench_fitter_step(spec, n_frames=1, approx_max_faces=None, vpu_peak_gflops=N
         updates, s = tx.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
-    for _ in range(3):
-        params, opt_state, loss = step(params, opt_state)
-    loss.block_until_ready()
-    n = 30
-    t0 = time.perf_counter()
-    for _ in range(n):
-        params, opt_state, loss = step(params, opt_state)
-    loss.block_until_ready()
-    dt = (time.perf_counter() - t0) / n
+    def chain_single(state):
+        p, s = state
+        p, s, _ = step(p, s)
+        return p, s
+
+    dt = timeit_chain(chain_single, (params, opt_state), n1=10, n2=40, warmup=3)
 
     # chained mode: 10 iterations scanned per dispatch (fitter run_stage chunk)
     CHUNK = 10
@@ -211,13 +233,19 @@ def bench_fitter_step(spec, n_frames=1, approx_max_faces=None, vpu_peak_gflops=N
 
     # fresh params: time the same iteration range as the single-dispatch phase
     params, opt_state = params0, tx.init(params0)
-    params, opt_state, loss = chained(params, opt_state)
-    loss.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(4):
-        params, opt_state, loss = chained(params, opt_state)
-    loss.block_until_ready()
-    dt_chained = (time.perf_counter() - t0) / (4 * CHUNK)
+
+    def chain_scanned(state):
+        p, s = state
+        p, s, _ = chained(p, s)
+        return p, s
+
+    dt_chained = timeit_chain(chain_scanned, (params, opt_state),
+                              n1=1, n2=4, warmup=1) / CHUNK
+
+    # evolve to a mid-fit pose (the regime the timing windows covered) for a
+    # representative culling-work estimate
+    for _ in range(25):
+        params, opt_state, _ = step(params, opt_state)
 
     # roofline estimate: count the raster's useful work at the converged pose
     # (active 8-face×1024-pixel subgroups from the cull mask; ~60 flops per
@@ -263,15 +291,20 @@ def bench_fitter_step(spec, n_frames=1, approx_max_faces=None, vpu_peak_gflops=N
            # (saturation early-outs skip a fraction of these at runtime)
            "raster_point_triangle_tests_bound": int(tests),
            "raster_work_bound_gflops": round(flops / dt / 1e9, 1),
-           "roofline_note": "raster is VPU-bound elementwise work (no MXU); "
-                            "work-bound/peak near 100% = kernel at the VPU "
-                            "roofline, further speed requires LESS work "
-                            "(the worklist z-nearest cap)"}
+           "roofline_note": "raster is VPU-bound elementwise work (no MXU). "
+                            "work_bound_gflops counts every bbox-overlapping "
+                            "subgroup as fully evaluated, so it is an UPPER "
+                            "bound on achieved flops and can exceed the peak "
+                            "— the excess is work the kernel's saturation "
+                            "early-outs actually skipped. bound/peak >= 1 "
+                            "means the kernel is at the VPU roofline and "
+                            "further speed requires LESS work (the worklist "
+                            "z-nearest cap)"}
     if vpu_peak_gflops:
-        # MFU upper bound against the MEASURED VPU peak (logistic-map
-        # recurrence, not a spec-sheet number)
+        # the denominator is the MEASURED achievable VPU FMA rate (pallas
+        # VMEM-resident kernel, measure_vpu_peak_gflops) — not a spec number
         out["vpu_peak_gflops_measured"] = round(vpu_peak_gflops, 1)
-        out["raster_mfu_pct_upper_bound"] = round(
+        out["raster_work_bound_over_peak_pct"] = round(
             100 * (flops / dt / 1e9) / vpu_peak_gflops, 1)
     return out
 
@@ -288,14 +321,19 @@ def bench_singleview_inference(spec):
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
 
     @jax.jit
-    def infer(imgs):
+    def infer_chain(imgs):
         (raw, _), _ = model.apply(variables, imgs, train=False, mutable=["batch_stats"])
-        return decode_predictions(cfg, raw, spec)
+        preds = decode_predictions(cfg, raw, spec)
+        # fold the predictions back into the next batch's pixels: each timed
+        # dispatch is a fresh dependent computation, and the multiplicative
+        # term guarantees a bitwise change (see _timing / bench_forward note)
+        return imgs * (1.0 - 1e-5) + jnp.mean(preds["trans"]) * 1e-7
 
     out = {"backbone": "resnet50", "resolution": 224}
+    rng = np.random.RandomState(0)
     for B in (8, 128):
-        imgs = jnp.zeros((B, 224, 224, 3))
-        dt = timeit(infer, imgs, iters=20)
+        imgs = jnp.asarray(rng.rand(B, 224, 224, 3).astype(np.float32))
+        dt = timeit_chain(infer_chain, imgs, n1=8, n2=32)
         out[f"batch{B}_ms"] = dt * 1000
         out[f"batch{B}_images_per_sec"] = B / dt
     out["images_per_sec"] = out["batch128_images_per_sec"]  # serving throughput
@@ -358,14 +396,12 @@ def bench_singleview_train_step(spec):
             "keypoints_2d": jnp.asarray(rng.rand(B, spec.n_joints, 2).astype(np.float32)),
             "kp_visibility": jnp.ones((B, spec.n_joints)),
         }
-        p, bs, s = params, batch_stats, opt_state
-        p, bs, s, loss, _ = step(p, bs, s, batch)
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            p, bs, s, loss, _ = step(p, bs, s, batch)
-        jax.block_until_ready(loss)
-        dt = (time.perf_counter() - t0) / 10
+        def chain(state):
+            p, bs, s = state
+            p, bs, s, _, _ = step(p, bs, s, batch)
+            return p, bs, s
+
+        dt = timeit_chain(chain, (params, batch_stats, opt_state), n1=5, n2=20)
         out[f"batch{B}_ms"] = dt * 1000
         out[f"batch{B}_images_per_sec"] = B / dt
     return out
@@ -391,7 +427,8 @@ def bench_multiview_inference(spec, n_views, res, label):
     )
 
     @jax.jit
-    def infer(imgs, vm, cids):
+    def infer_chain(carry):
+        imgs, vm, cids = carry
         (raw, _), _ = model.apply(variables, imgs, vm, cids, train=False,
                                   mutable=["batch_stats"])
         preds = decode_multiview_predictions(cfg, raw, spec)
@@ -405,14 +442,17 @@ def bench_multiview_inference(spec, n_views, res, label):
         y_ndc = (res - 1.0 - 2.0 * kp2d[..., 0] * res) / s
         ndc = jnp.stack([x_ndc, y_ndc], axis=-1)
         tri = jax.vmap(lambda n, p: triangulate_dlt(n, p, jnp.ones(n.shape[0], bool)))(ndc, P)
-        return kp2d, tri
+        # dependent-chain fold; multiplicative term guarantees a bitwise
+        # change (see _timing / bench_forward note)
+        return imgs * (1.0 - 1e-5) + (jnp.mean(kp2d) + jnp.mean(tri)) * 1e-8, vm, cids
 
     out = {"views": n_views, "resolution": res}
+    rng = np.random.RandomState(0)
     for B in (1, 8):
-        imgs = jnp.zeros((B, n_views, res, res, 3))
+        imgs = jnp.asarray(rng.rand(B, n_views, res, res, 3).astype(np.float32))
         vm = jnp.ones((B, n_views), bool)
         cids = jnp.tile(jnp.arange(n_views)[None], (B, 1))
-        dt = timeit(infer, imgs, vm, cids, iters=10)
+        dt = timeit_chain(infer_chain, (imgs, vm, cids), n1=5, n2=20)
         out[f"{label}_b{B}_ms"] = dt * 1000
         out[f"{label}_b{B}_frames_per_sec"] = B / dt
     out[f"{label}_frames_per_sec"] = out[f"{label}_b8_frames_per_sec"]

@@ -23,6 +23,12 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 import jax.numpy as jnp
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import sync
+
 MODEL = "/root/reference/3D_model_prep/SMILy_STICK.pkl"
 
 
@@ -48,7 +54,7 @@ def time_stage(fitter, stage_weights, chunk, warm_iters=1):
     w = stage_weights._replace(num_iters=n)
     t0 = time.perf_counter()
     fitter.run_stage(1, w, chunk=chunk)
-    jax.block_until_ready(fitter.params)
+    sync(fitter.params)  # value fetch: block_until_ready can return early here
     return (time.perf_counter() - t0) / n
 
 

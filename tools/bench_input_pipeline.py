@@ -29,7 +29,12 @@ import subprocess
 import sys
 import time
 
+
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _timing import sync  # noqa: E402
 os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "false")
 
 import numpy as np
@@ -107,7 +112,7 @@ def run_phase(args):
             n += 1
             if n >= steps:
                 break
-        jax.block_until_ready(loss)
+        sync(loss)  # value fetch: block_until_ready can return early here
         return (time.perf_counter() - t0) / max(n, 1)
 
     rng = np.random.default_rng(0)

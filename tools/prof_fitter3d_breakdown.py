@@ -4,7 +4,6 @@ Runs each loss subset as its own fused fwd+bwd+Adam step, plus standalone
 KNN timings at the chamfer shapes."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -26,15 +25,14 @@ STICK = "/root/reference/3D_model_prep/SMILy_STICK.pkl"
 ATTA_DIR = "/root/reference/fitter_3d/ATTA_BOI"
 
 
-def timeit(name, fn, *args, iters=30, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import timeit_chain  # noqa: E402
+
+
+def bench(name, chain, state, n1=8, n2=32):
+    """Chained slope timing (tools/_timing): dependent dispatches + value
+    fetches — weaker loops mis-measure on this box."""
+    dt = timeit_chain(chain, state, n1=n1, n2=n2)
     print(f"{name:48s} {dt*1e3:8.3f} ms", flush=True)
     return dt
 
@@ -50,10 +48,18 @@ def main():
     rng = np.random.RandomState(0)
     a = jnp.asarray(rng.rand(3000, 3).astype(np.float32))
     b = jnp.asarray(rng.rand(3000, 3).astype(np.float32))
-    knn1 = jax.jit(lambda x, y: knn_points(x, y, K=1).dists)
-    timeit("knn 3000x3000 K=1 (fwd)", knn1, a, b)
-    knn_grad = jax.jit(jax.grad(lambda x, y: knn_points(x, y, K=1).dists.sum()))
-    timeit("knn 3000x3000 K=1 (fwd+bwd)", knn_grad, a, b)
+    @jax.jit
+    def knn_fwd_chain(x):
+        return x + knn_points(x, b, K=1).dists.mean() * 1e-9
+
+    bench("knn 3000x3000 K=1 (fwd)", knn_fwd_chain, a)
+
+    @jax.jit
+    def knn_bwd_chain(x):
+        g = jax.grad(lambda xx: knn_points(xx, b, K=1).dists.sum())(x)
+        return x + g * 1e-9
+
+    bench("knn 3000x3000 K=1 (fwd+bwd)", knn_bwd_chain, a)
 
     key = jax.random.PRNGKey(0)
     base = {"chamfer": 0.0, "edge": 0.0, "normal": 0.0, "laplacian": 0.0, "sdf": 0.0}
@@ -84,10 +90,12 @@ def main():
         opt_state = tx.init(params)
         step = make_step(lw)
 
-        def run(p, s, k):
-            return step(p, s, k)[2]
+        def chain(state):
+            p, s = state
+            p, s, _ = step(p, s, key)
+            return p, s
 
-        timeit(name, run, params, opt_state, key, iters=20)
+        bench(name, chain, (params, opt_state), n1=10, n2=40)
 
 
 if __name__ == "__main__":

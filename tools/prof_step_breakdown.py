@@ -1,15 +1,20 @@
-"""Breakdown of the config3 bench step (single frame, 512^2, exact raster)."""
+"""Breakdown of the config3 bench step (single frame, 512^2, exact raster).
+
+All timings via tools/_timing.timeit_chain (dependent chains + value-fetch
+slope; see that module for why weaker loops mis-measure on this box)."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax, jax.numpy as jnp
 import optax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from _timing import timeit_chain
 
 from smilify_tpu.core.spec import load_model_spec
 from smilify_tpu.fitter.fitter import FitData, forward_losses, init_params, temporal_losses
@@ -36,16 +41,9 @@ weights = OPT_WEIGHTS[1]
 tx = optax.adam(weights.lr, b1=0.5)
 
 
-def timeit(name, fn, *args, iters=30, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:40s} {dt*1e3:8.3f} ms")
+def bench(name, chain, state, n1=8, n2=32, per=1):
+    dt = timeit_chain(chain, state, n1=n1, n2=n2) / per
+    print(f"{name:44s} {dt*1e3:8.3f} ms", flush=True)
     return dt
 
 
@@ -55,30 +53,30 @@ def make_step(w, amf=None):
                                   approx_max_faces=amf)
         tj, tg, tt = temporal_losses(p, w.w_temp)
         return total + tj + tg + tt
-    opt_state = tx.init(params)
+
     @jax.jit
     def step(p, s):
         loss, grads = jax.value_and_grad(loss_fn)(p)
         updates, s = tx.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
-    return step, opt_state
+
+    def chain(state):
+        p, s = state
+        p, s, _ = step(p, s)
+        return p, s
+
+    return chain
 
 
-# 1. full exact step
-step, s0 = make_step(weights)
-t_full = timeit("full step (exact)", lambda: step(params, s0))
-
-# 2. no-silhouette step
-w_nosil = weights._replace(w_reproj=0.0)
-step2, s2 = make_step(w_nosil)
-t_nosil = timeit("step w/o silhouette", lambda: step2(params, s2))
-
-# 3. worklist variants
+# 1. full exact step / no-silhouette / worklist variants
+bench("full step (exact)", make_step(weights), (params, tx.init(params)))
+bench("step w/o silhouette", make_step(weights._replace(w_reproj=0.0)),
+      (params, tx.init(params)))
 for cap in (800, 700, 400, 200):
-    stepw, sw = make_step(weights, amf=cap)
-    timeit(f"full step (worklist cap {cap})", lambda: stepw(params, sw))
+    bench(f"full step (worklist cap {cap})", make_step(weights, amf=cap),
+          (params, tx.init(params)))
 
-# 4. raster fwd only / fwd+bwd
+# 2. raster fwd only / fwd+bwd
 from smilify_tpu.render.rasterizer import soft_silhouette
 from smilify_tpu.render.cameras import default_camera
 from smilify_tpu.core.lbs import smil_forward
@@ -90,54 +88,88 @@ cam = default_camera()
 pts_view = jax.vmap(cam.world_to_view)(verts)
 ndc = jax.vmap(cam.view_to_ndc)(pts_view)
 verts_ndc = jnp.concatenate([ndc[..., :2], pts_view[..., 2:3]], axis=-1)
-verts_ndc = jax.block_until_ready(verts_ndc)
 
-fwd = jax.jit(lambda v: soft_silhouette(v, spec.faces, IMAGE_SIZE, znear=cam.znear))
-timeit("raster fwd only (exact)", lambda: fwd(verts_ndc))
 
-g = jax.jit(jax.grad(lambda v: jnp.sum(soft_silhouette(v, spec.faces, IMAGE_SIZE, znear=cam.znear) ** 2)))
-timeit("raster fwd+bwd (exact)", lambda: g(verts_ndc))
+def raster_chains(amf=None):
+    @jax.jit
+    def fwd_chain(v):
+        sil = soft_silhouette(v, spec.faces, IMAGE_SIZE, znear=cam.znear,
+                              approx_max_faces=amf)
+        return v * (1.0 - 1e-5) + jnp.mean(sil) * 1e-7
 
+    @jax.jit
+    def bwd_chain(v):
+        g = jax.grad(lambda vv: jnp.sum(
+            soft_silhouette(vv, spec.faces, IMAGE_SIZE, znear=cam.znear,
+                            approx_max_faces=amf) ** 2))(v)
+        return v * (1.0 - 1e-5) + g * 1e-7
+
+    return fwd_chain, bwd_chain
+
+
+fc, bc = raster_chains()
+bench("raster fwd only (exact)", fc, verts_ndc)
+bench("raster fwd+bwd (exact)", bc, verts_ndc)
 for cap in (800, 400):
-    fw = jax.jit(lambda v, c=cap: soft_silhouette(v, spec.faces, IMAGE_SIZE, znear=cam.znear, approx_max_faces=c))
-    timeit(f"raster fwd only (worklist {cap})", lambda: fw(verts_ndc))
-    gw = jax.jit(jax.grad(lambda v, c=cap: jnp.sum(soft_silhouette(v, spec.faces, IMAGE_SIZE, znear=cam.znear, approx_max_faces=c) ** 2)))
-    timeit(f"raster fwd+bwd (worklist {cap})", lambda: gw(verts_ndc))
+    fc, bc = raster_chains(cap)
+    bench(f"raster fwd only (worklist {cap})", fc, verts_ndc)
+    bench(f"raster fwd+bwd (worklist {cap})", bc, verts_ndc)
 
-# 5. scan-chained steps (K iters per dispatch) — amortizes tunnel dispatch
+
+# 3. scan-chained steps (K iters per dispatch) — amortizes tunnel dispatch
 def make_chain(w, K, amf=None):
     def loss_fn(p):
         total, _ = forward_losses(spec, p, data, w, pp, lp, sp, IMAGE_SIZE,
                                   approx_max_faces=amf)
         tj, tg, tt = temporal_losses(p, w.w_temp)
         return total + tj + tg + tt
-    opt_state = tx.init(params)
+
     @jax.jit
-    def chain(p, s):
+    def scan_step(p, s):
         def body(carry, _):
             p, s = carry
             loss, grads = jax.value_and_grad(loss_fn)(p)
             updates, s = tx.update(grads, s, p)
             return (optax.apply_updates(p, updates), s), loss
+
         (p, s), losses = jax.lax.scan(body, (p, s), None, length=K)
         return p, s, losses
-    return chain, opt_state
+
+    def chain(state):
+        p, s = state
+        p, s, _ = scan_step(p, s)
+        return p, s
+
+    return chain
+
 
 for K in (5, 10):
-    ch, sc = make_chain(weights, K)
-    t = timeit(f"chained x{K} (exact), per-iter", lambda: ch(params, sc), iters=10)
-    print(f"    -> {t/K*1e3:.3f} ms/iter = {K/t:.1f} it/s")
+    dt = bench(f"chained x{K} (exact), per-iter",
+               make_chain(weights, K), (params, tx.init(params)),
+               n1=2, n2=6, per=K)
+    print(f"    -> {1/dt:.1f} it/s")
+dt = bench("chained x10 (worklist 700), per-iter",
+           make_chain(weights, 10, amf=700), (params, tx.init(params)),
+           n1=2, n2=6, per=10)
+print(f"    -> {1/dt:.1f} it/s")
 
-ch, sc = make_chain(weights, 10, amf=700)
-t = timeit("chained x10 (worklist 700), per-iter", lambda: ch(params, sc), iters=10)
-print(f"    -> {t/10*1e3:.3f} ms/iter = {10/t:.1f} it/s")
-
-# 6. LBS decomposition
+# 4. LBS decomposition
 th = jnp.concatenate([params.global_rot[:, None, :], params.joint_rot], axis=1)
 bt = jnp.broadcast_to(params.betas, (N, params.betas.shape[0]))
-lbs_fwd = jax.jit(lambda b, t: smil_forward(spec, b, t).verts.sum())
-timeit("LBS fwd only", lambda: lbs_fwd(bt, th))
-lbs_g = jax.jit(jax.grad(lambda t: smil_forward(spec, bt, t).verts.sum()))
-timeit("LBS fwd+bwd", lambda: lbs_g(th))
+
+
+@jax.jit
+def lbs_fwd_chain(b):
+    return b * (1.0 - 1e-5) + smil_forward(spec, b, th).verts.sum() * 1e-9
+
+
+@jax.jit
+def lbs_bwd_chain(t):
+    g = jax.grad(lambda tt: smil_forward(spec, bt, tt).verts.sum())(t)
+    return t * (1.0 - 1e-5) + g * 1e-7
+
+
+bench("LBS fwd only", lbs_fwd_chain, bt, n1=16, n2=64)
+bench("LBS fwd+bwd", lbs_bwd_chain, th, n1=16, n2=64)
 
 print("done")
