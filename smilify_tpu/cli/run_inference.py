@@ -232,28 +232,40 @@ def main(argv=None):
         preds_j = {k: jnp.asarray(v) for k, v in traj.items()}
         verts, joints3d = forward_model(spec, preds_j)
 
-        def render_view(i, R, T, fov):
+        # All views (mv) / a chunk of frames (sv) render in ONE jitted call
+        # that converts to uint8 ON DEVICE: the tunneled transport moves
+        # ~10 MB/s, so shipping f32 pixels one view at a time caps export at
+        # a few fps regardless of render speed — one uint8 batch per frame
+        # is 4x fewer bytes and V(x C) fewer round trips.
+        def render_one(vtx, j3d, R, T, fov):
             cam = default_camera().replace(R=R, T=T, fov=fov)
-            pts_view = cam.world_to_view(verts[i])
+            pts_view = cam.world_to_view(vtx)
             ndc = cam.view_to_ndc(pts_view)
             verts_ndc = jnp.concatenate([ndc[:, :2], pts_view[:, 2:3]], axis=1)
-            img = np.asarray(render_phong(verts[i], pts_view, verts_ndc, spec.faces, (res, res)))
-            kp = np.asarray(cam.project_points_yx(joints3d[i], (res, res)))
-            return draw_joints(img, kp)
+            img = render_phong(vtx, pts_view, verts_ndc, spec.faces, (res, res))
+            kp = cam.project_points_yx(j3d, (res, res))
+            return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8), kp
 
         frames = []
         if is_mv:
             # per-view videos + a multi-view grid video
             # (reference run_multiview_inference.py:833-914 output contract)
             V = preds_j["view_fov"].shape[1]
+
+            @jax.jit
+            def render_frame_views(i):
+                return jax.vmap(render_one, in_axes=(None, None, 0, 0, 0))(
+                    verts[i], joints3d[i], preds_j["view_cam_rot"][i],
+                    preds_j["view_cam_trans"][i], preds_j["view_fov"][i])
+
             per_view_frames = [[] for _ in range(V)]
             for i in range(n):
+                imgs_u8, kps = render_frame_views(i)
+                imgs_u8 = np.asarray(imgs_u8)  # one (V,res,res,3) u8 fetch
+                kps = np.asarray(kps)
                 row = []
                 for v in range(V):
-                    img = render_view(i, preds_j["view_cam_rot"][i, v],
-                                      preds_j["view_cam_trans"][i, v],
-                                      preds_j["view_fov"][i, v])
-                    u8 = (img * 255).astype(np.uint8)
+                    u8 = draw_joints(imgs_u8[v], kps[v])
                     per_view_frames[v].append(u8)
                     row.append(u8)
                 # grid: views tiled in rows of ≤4
@@ -274,11 +286,24 @@ def main(argv=None):
                     write_video(f"{base}_view{v}{ext}", per_view_frames[v], fps=15)
                 print(f"per-view videos → {base}_view*.{ext.lstrip('.')}")
         else:
-            for i in range(n):
-                img = render_view(i, preds_j["cam_rot"][i], preds_j["cam_trans"][i],
-                                  preds_j["fov"][i])
-                frames.append((img * 255).astype(np.uint8))
-                imageio.imwrite(os.path.join(render_dir, f"frame_{i:05d}.png"), frames[-1])
+            C = max(1, min(8, n))  # frames per device round trip
+
+            @jax.jit
+            def render_frame_chunk(lo):
+                idx = jnp.minimum(lo + jnp.arange(C), n - 1)  # clamped tail
+                return jax.vmap(render_one)(
+                    verts[idx], joints3d[idx], preds_j["cam_rot"][idx],
+                    preds_j["cam_trans"][idx], preds_j["fov"][idx])
+
+            for lo in range(0, n, C):
+                imgs_u8, kps = render_frame_chunk(lo)
+                imgs_u8 = np.asarray(imgs_u8)  # one (C,res,res,3) u8 fetch
+                kps = np.asarray(kps)
+                for j in range(min(C, n - lo)):
+                    frames.append(draw_joints(imgs_u8[j], kps[j]))
+                    imageio.imwrite(
+                        os.path.join(render_dir, f"frame_{lo + j:05d}.png"),
+                        frames[-1])
         if args.video:
             from smilify_tpu.utils.export import write_video
 

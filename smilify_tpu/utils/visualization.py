@@ -25,10 +25,18 @@ def draw_joints(
     visible: Optional[np.ndarray] = None,
     marker_size: int = 6,
 ) -> np.ndarray:
-    """Draw star markers at (row, col) joints on a (H, W, 3) float [0,1] image."""
+    """Draw star markers at (row, col) joints on a (H, W, 3) image.
+
+    Accepts float [0,1] (returns float) or uint8 (returns uint8 — the
+    render-export hot path ships uint8 straight from the device, see
+    cli/run_inference.py)."""
     import cv2
 
-    img = (np.ascontiguousarray(image) * 255.0).astype(np.uint8)
+    was_u8 = image.dtype == np.uint8
+    if was_u8:
+        img = np.ascontiguousarray(image).copy()
+    else:
+        img = (np.ascontiguousarray(image) * 255.0).astype(np.uint8)
     H, W = img.shape[:2]
     n = len(joints_yx)
     colors = rainbow_colors(n)
@@ -41,7 +49,7 @@ def draw_joints(
             img, (int(x), int(y)), colors[k], markerType=cv2.MARKER_STAR,
             markerSize=marker_size, thickness=1,
         )
-    return img.astype(np.float32) / 255.0
+    return img if was_u8 else img.astype(np.float32) / 255.0
 
 
 def fit_collage(

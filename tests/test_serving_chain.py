@@ -51,3 +51,41 @@ def test_multiview_serving_chain(tmp_path, stick_spec):
     report = tmp_path / "bench"
     assert any(p.name.startswith("benchmark") or p.suffix in (".txt", ".png", ".npy")
                for p in report.rglob("*")), list(report.rglob("*"))
+
+
+@pytest.mark.slow
+def test_singleview_serving_chain(tmp_path):
+    """Single-view: train on the bundled replicAnt images, then run_inference
+    through the batched uint8 render path — n=10 frames with chunk C=8
+    exercises the clamped-tail chunk (frames 8-9 + 6 clamped duplicates)."""
+    from smilify_tpu.cli.train_regressor import main as train
+
+    run = tmp_path / "run"
+    train(["--model", "/root/reference/3D_model_prep/SMILy_STICK.pkl",
+           "--data-path",
+           "/root/reference/data/replicAnt_trials/replicAnt-x-SMIL-TEX",
+           "--epochs", "1", "--output-dir", str(run),
+           "--set", "model.backbone_name=unet_micro",
+           "model.input_resolution=48", "training.batch_size=4",
+           "dataset.dataset_fraction=0.5", "model.transformer_depth=1",
+           "model.transformer_heads=2", "model.freeze_backbone=false",
+           "output.generate_visualizations_every=100",
+           "output.save_checkpoint_every=1"])
+    assert (run / "final_model").exists()
+
+    from smilify_tpu.cli.run_inference import main as infer
+
+    rdir = tmp_path / "render"
+    infer(["--checkpoint", str(run / "final_model"),
+           "--data-path",
+           "/root/reference/data/replicAnt_trials/replicAnt-x-SMIL-TEX",
+           "--max-frames", "10",
+           "--render-dir", str(rdir), "--video", str(rdir / "out.mp4")])
+    pngs = sorted(rdir.glob("frame_*.png"))
+    assert len(pngs) == 10, pngs
+    assert (rdir / "out.mp4").exists()
+    import imageio.v2 as imageio
+
+    img = imageio.imread(pngs[-1])
+    assert img.shape[-1] == 3 and img.dtype == np.uint8
+    assert img.std() > 0  # a real render, not a constant buffer
