@@ -47,6 +47,14 @@ def main(argv=None):
     ap.add_argument("--texture", action="store_true",
                     help="rgb/texture collage: overlay the hard-Phong render "
                          "(reference rgb_only mode, fitter.py:57 + p3d_renderer.py:54-70)")
+    ap.add_argument("--progressive", nargs="?", const="1,4,2,1", default=None,
+                    metavar="SCALES",
+                    help="coarse-to-fine pyramid: comma-separated per-stage "
+                         "downsample factors (default 1,4,2,1 — stage 0 has no "
+                         "raster; raster stages run 4x/2x/full). Convergence "
+                         "aid (wider silhouette basin at coarse scales), not a "
+                         "speed win: the fused step is not raster-dominated "
+                         "(see fitter/progressive.py)")
     ap.add_argument("--approx-max-faces", type=int, default=None,
                     help="work-list raster: per-tile z-nearest face cap "
                          "(reference faces_per_pixel=100 approximation); "
@@ -133,6 +141,7 @@ def main(argv=None):
         shape_prior = unity_shape_prior(args.unity_prior, n_betas=spec.n_betas)
 
     fitter_cls = SmalFitter
+    fitter_extra = {}
     if args.shard_frames:
         import jax
 
@@ -140,9 +149,15 @@ def main(argv=None):
 
         fitter_cls = ShardedSequenceFitter
         print(f"sharding {len(filenames)} frames over {len(jax.devices())} devices")
+    elif args.progressive:
+        from smilify_tpu.fitter.progressive import ProgressiveFitter
+
+        fitter_cls = ProgressiveFitter
+        fitter_extra["scales"] = [int(s) for s in args.progressive.split(",")]
+        print(f"progressive pyramid scales {fitter_extra['scales']}")
     fitter = fitter_cls(spec, data, (H, W), allow_limb_scaling=args.limb_scaling,
                         pose_prior=pose_prior, shape_prior=shape_prior,
-                        approx_max_faces=args.approx_max_faces)
+                        approx_max_faces=args.approx_max_faces, **fitter_extra)
 
     if args.load_checkpoint:
         from smilify_tpu.fitter.fitter import FitParams
