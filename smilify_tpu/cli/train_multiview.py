@@ -134,12 +134,20 @@ def main(argv=None):
     mesh = data_mesh()
     n_dev = len(mesh.devices.reshape(-1))
     bs = max(n_dev, (cfg.training.batch_size // n_dev) * n_dev)
-    if multihost and jax.process_count() > 1:
+    multihost_run = multihost and jax.process_count() > 1
+    if multihost_run:
         # each host feeds its slice of the global batch from a disjoint shard
-        # of the dataset (reference DistributedSampler semantics)
+        # of the dataset (reference DistributedSampler semantics). Shards are
+        # wrap-padded to EQUAL length: an uneven split can give one host an
+        # extra batch whose collective step the others never enter (the same
+        # reason DistributedSampler pads by repeating from the start).
         bs = local_batch_size(bs)
         pi, pc = jax.process_index(), jax.process_count()
-        train_ds = SubsetDataset(train_ds, np.arange(pi, len(train_ds), pc))
+        local_idx = np.arange(pi, len(train_ds), pc)
+        per_host = -(-len(train_ds) // pc)
+        if 0 < len(local_idx) < per_host:
+            local_idx = np.concatenate([local_idx, local_idx[: per_host - len(local_idx)]])
+        train_ds = SubsetDataset(train_ds, local_idx)
         print(f"multihost: host {pi}/{pc}, local batch {bs}, "
               f"{len(train_ds)} local train samples")
     os.makedirs(args.output_dir, exist_ok=True)
@@ -216,6 +224,10 @@ def main(argv=None):
                 # serialize host loading against device compute
                 losses.append(loss)
             except Exception as e:  # noqa: BLE001
+                if multihost_run:
+                    # a host-local skip desynchronizes the collective step
+                    # (other hosts wait forever) — crash beats deadlock
+                    raise
                 skipped += 1
                 print(f"warning: skipped batch ({type(e).__name__}: {e})")
                 if skipped > max(4, len(losses)):
@@ -243,7 +255,18 @@ def main(argv=None):
                 print(f"epoch {epoch}: val_loss {state.history[-1]['val_loss']:.5f}")
 
         last_epoch = epoch == cfg.training.num_epochs - 1
-        # host-side writes are process-0-only (reference rank==0 gating)
+        # host-side writes are process-0-only (reference rank==0 gating).
+        # Under multihost the state arrays live on the GLOBAL mesh: a jit or
+        # orbax save issued from process 0 alone would deadlock the others.
+        # Replicated arrays are locally readable on every process, so take
+        # host copies (no collective) and gate only the file writes.
+        out_state = state
+        if multihost_run:
+            out_state = TrainState(
+                params=jax.device_get(state.params),
+                batch_stats=jax.device_get(state.batch_stats),
+                opt_state=jax.device_get(state.opt_state),
+                epoch=state.epoch, step=state.step, history=state.history)
         if is_primary() and ((epoch + 1) % cfg.output.generate_visualizations_every == 0
                              or last_epoch):
             from smilify_tpu.train.train_viz import epoch_visualization
@@ -252,7 +275,7 @@ def main(argv=None):
             vb = collate_multiview([viz_ds[i] for i in
                                     range(min(cfg.output.num_visualization_samples, len(viz_ds)))])
             ief_metrics = epoch_visualization(
-                spec, apply_fn, state.params, state.batch_stats, vb, (H, W),
+                spec, apply_fn, out_state.params, out_state.batch_stats, vb, (H, W),
                 args.output_dir, epoch, multiview=True,
                 viz_dir=cfg.output.train_visualizations_dir,
             )
@@ -263,7 +286,7 @@ def main(argv=None):
                       f"(collages -> {cfg.output.train_visualizations_dir}/)")
 
         if is_primary():
-            best_val = end_of_epoch_outputs(args.output_dir, state, cfg, epoch,
+            best_val = end_of_epoch_outputs(args.output_dir, out_state, cfg, epoch,
                                             last_epoch, best_val)
 
     return state

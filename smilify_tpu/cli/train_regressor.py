@@ -180,12 +180,19 @@ def main(argv=None):
     if bs % n_dev:
         bs = max(n_dev, (bs // n_dev) * n_dev)
         print(f"batch_size rounded to {bs} for {n_dev} devices")
-    if multihost and jax.process_count() > 1:
+    multihost_run = multihost and jax.process_count() > 1
+    if multihost_run:
         # per-host batch slice + disjoint dataset shard (reference
-        # DistributedSampler semantics)
+        # DistributedSampler semantics). Shards are wrap-padded to EQUAL
+        # length: an uneven split can give one host an extra batch whose
+        # collective step the others never enter.
         bs = local_batch_size(bs)
         pi, pc = jax.process_index(), jax.process_count()
-        train_ds = SubsetDataset(train_ds, np.arange(pi, len(train_ds), pc))
+        local_idx = np.arange(pi, len(train_ds), pc)
+        per_host = -(-len(train_ds) // pc)
+        if 0 < len(local_idx) < per_host:
+            local_idx = np.concatenate([local_idx, local_idx[: per_host - len(local_idx)]])
+        train_ds = SubsetDataset(train_ds, local_idx)
         print(f"multihost: host {pi}/{pc}, local batch {bs}, "
               f"{len(train_ds)} local train samples")
 
@@ -305,6 +312,10 @@ def main(argv=None):
                 # serialize host loading against device compute
                 epoch_losses.append(loss)
             except Exception as e:  # noqa: BLE001
+                if multihost_run:
+                    # a host-local skip desynchronizes the collective step
+                    # (other hosts wait forever) — crash beats deadlock
+                    raise
                 skipped += 1
                 print(f"warning: skipped batch ({type(e).__name__}: {e})")
                 if skipped > max(4, len(epoch_losses)):
@@ -333,7 +344,18 @@ def main(argv=None):
                 print(f"epoch {epoch}: val_loss {state.history[-1]['val_loss']:.5f}")
 
         last_epoch = epoch == cfg.training.num_epochs - 1
-        # host-side writes are process-0-only (reference rank==0 gating)
+        # host-side writes are process-0-only (reference rank==0 gating).
+        # Under multihost the state arrays live on the GLOBAL mesh: a jit or
+        # orbax save issued from process 0 alone would deadlock the others.
+        # Replicated arrays are locally readable on every process, so take
+        # host copies (no collective) and gate only the file writes.
+        out_state = state
+        if multihost_run:
+            out_state = TrainState(
+                params=jax.device_get(state.params),
+                batch_stats=jax.device_get(state.batch_stats),
+                opt_state=jax.device_get(state.opt_state),
+                epoch=state.epoch, step=state.step, history=state.history)
         if is_primary() and ((epoch + 1) % cfg.output.generate_visualizations_every == 0
                              or last_epoch):
             from smilify_tpu.data.hdf5_dataset import collate_multiview as collate_plain
@@ -344,7 +366,7 @@ def main(argv=None):
                                 range(min(cfg.output.num_visualization_samples, len(viz_ds)))])
             if "image" in vb:
                 ief_metrics = epoch_visualization(
-                    spec, apply_fn, state.params, state.batch_stats, vb, (res, res),
+                    spec, apply_fn, out_state.params, out_state.batch_stats, vb, (res, res),
                     args.output_dir, epoch, multiview=False,
                     viz_dir=cfg.output.train_visualizations_dir,
                 )
@@ -353,7 +375,7 @@ def main(argv=None):
         from smilify_tpu.train.trainer import end_of_epoch_outputs
 
         if is_primary():
-            best_val = end_of_epoch_outputs(args.output_dir, state, cfg, epoch,
+            best_val = end_of_epoch_outputs(args.output_dir, out_state, cfg, epoch,
                                             last_epoch, best_val)
 
     return state

@@ -219,7 +219,13 @@ class AugmentedDataset:
         return len(self.dataset)
 
     def __getattr__(self, name):
-        return getattr(self.dataset, name)
+        # Guard against recursion during unpickling (process-pool workers):
+        # pickle probes dunders before __dict__ is restored.
+        try:
+            dataset = object.__getattribute__(self, "__dict__")["dataset"]
+        except KeyError:
+            raise AttributeError(name) from None
+        return getattr(dataset, name)
 
     def __getitem__(self, idx: int):
         sample = self.dataset[idx]

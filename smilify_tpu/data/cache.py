@@ -50,7 +50,15 @@ class DecodedSampleCache:
         return len(self.dataset)
 
     def __getattr__(self, name):
-        return getattr(self.dataset, name)
+        # Only consulted for attributes missing on the wrapper itself.
+        # Guard against recursion during unpickling: pickle probes dunders
+        # (__setstate__ et al.) before __dict__ is restored, when
+        # ``self.dataset`` does not exist yet.
+        try:
+            dataset = object.__getattribute__(self, "__dict__")["dataset"]
+        except KeyError:
+            raise AttributeError(name) from None
+        return getattr(dataset, name)
 
     def cache_info(self):
         return {"cached": len(self._cache), "bytes": self._bytes, "full": self._full}

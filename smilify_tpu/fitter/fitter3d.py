@@ -201,9 +201,10 @@ def registration_losses(
 
         def sample_pair(v, tgt_v, tgt_f, tgt_fmask, ks):
             src_pts = sample_points_from_meshes(v, spec.faces, num_samples, ks[0])
-            # padded faces are (0,0,0) degenerate → zero area → never sampled,
-            # but guard via mask-weighted areas by zeroing padded face verts
-            tgt_pts = sample_points_from_meshes(tgt_v, tgt_f, num_samples, ks[1])
+            # faces_mask zeroes padded faces' sampling weight explicitly —
+            # independent of the padding also being (0,0,0) degenerate
+            tgt_pts = sample_points_from_meshes(tgt_v, tgt_f, num_samples, ks[1],
+                                                face_mask=tgt_fmask)
             return src_pts, tgt_pts
 
         src_pts, tgt_pts = jax.vmap(sample_pair)(

@@ -168,6 +168,7 @@ def sample_points_from_meshes(
     num_samples: int,
     key: jax.Array,
     return_normals: bool = False,
+    face_mask: Optional[jnp.ndarray] = None,
 ):
     """Area-weighted uniform surface sampling (pytorch3d
     ``sample_points_from_meshes`` semantics) with a jax PRNG key.
@@ -196,12 +197,20 @@ def sample_points_from_meshes(
     v2 = verts[faces[:, 2]]
     cross = jnp.cross(v1 - v0, v2 - v0)
     areas = 0.5 * jnp.linalg.norm(cross, axis=-1)
+    if face_mask is not None:
+        # explicit exclusion of padded faces (empty CDF intervals), independent
+        # of whether the padding happens to be geometrically degenerate
+        areas = areas * face_mask.astype(areas.dtype)
     probs = areas / jnp.maximum(areas.sum(), 1e-12)
 
     k1, k2 = jax.random.split(key)
     cdf = jnp.cumsum(jax.lax.stop_gradient(probs))
     r = jax.random.uniform(k1, (num_samples,)) * cdf[-1]
-    fidx = jnp.clip(jnp.searchsorted(cdf, r), 0, faces.shape[0] - 1)
+    # side="right" assigns face i the half-open interval [cdf[i-1], cdf[i]):
+    # zero-area faces have EMPTY intervals and are unselectable even when r
+    # lands exactly on a CDF boundary (r=0.0 with a degenerate face 0 would,
+    # under side="left", select that face).
+    fidx = jnp.clip(jnp.searchsorted(cdf, r, side="right"), 0, faces.shape[0] - 1)
     u = jax.random.uniform(k2, (num_samples, 2))
     su = jnp.sqrt(u[:, 0:1])
     w0 = 1.0 - su

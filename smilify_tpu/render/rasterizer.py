@@ -455,6 +455,19 @@ def soft_silhouette(
     reference-faithful approximation (PyTorch3D keeps the 100 z-nearest faces
     per pixel, ``p3d_renderer.py:47``). None = exact all-faces SoftRas.
     """
+    if approx_max_faces is not None:
+        # the cap is implemented BY the work-list Pallas kernel; honoring it on
+        # the reference path would silently return the exact raster instead
+        # (results mis-attributed to the approximate mode). On non-TPU backends
+        # the kernel runs in interpret mode, so the approximation semantics —
+        # not just the API — are identical everywhere.
+        if use_pallas is False:
+            raise ValueError(
+                "approx_max_faces requires the Pallas work-list kernel; it "
+                "cannot be combined with use_pallas=False (the pure-JAX "
+                "reference raster is exact-only)")
+        use_pallas = True
+        interpret = interpret or jax.default_backend() != "tpu"
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 

@@ -48,12 +48,24 @@ def data_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
-    """Put a host batch onto the mesh, sharded along the leading axis."""
+    """Put a host batch onto the mesh, sharded along the leading axis.
+
+    Multi-host: each process passes its LOCAL slice of the global batch
+    (``local_batch_size`` rows from its own dataset shard);
+    ``make_array_from_process_local_data`` assembles the global array from the
+    per-process slices. A plain ``device_put`` there would treat every host's
+    distinct batch as the same global value — half of every host's samples
+    silently dropped at 2 hosts."""
     out = {}
+    multihost = jax.process_count() > 1
     for k, v in batch.items():
         arr = np.asarray(v)
         spec = P("data", *([None] * (arr.ndim - 1))) if arr.ndim > 0 else P()
-        out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost and arr.ndim > 0:
+            out[k] = jax.make_array_from_process_local_data(sharding, arr)
+        else:
+            out[k] = jax.device_put(arr, sharding)
     return out
 
 
@@ -268,14 +280,49 @@ def _pool_init(dataset):
 
 
 def _pool_load(args):
-    j, skip_errors = args
+    j, skip_errors, epoch = args
+    ds = _WORKER_DATASET
+    if epoch is not None and getattr(ds, "epoch", None) != epoch:
+        # the pool outlives epochs; forward the parent's set_epoch so
+        # per-epoch augmentation RNG stays fresh in the workers
+        set_epoch = getattr(ds, "set_epoch", None)
+        if set_epoch is not None:
+            set_epoch(epoch)
     try:
-        return _WORKER_DATASET[j]
+        return ds[j]
     except Exception as e:  # noqa: BLE001 — per-sample resilience
         if not skip_errors:
             raise
         print(f"warning: sample {j} failed to load ({type(e).__name__}: {e})")
         return None
+
+
+# ProcessPoolExecutors are cached across epochs: respawning per epoch would
+# pay num_workers spawn startups + dataset pickles every epoch AND discard the
+# workers' DecodedSampleCache state, so caching would never amortize in
+# process mode. The value keeps a strong dataset reference so the id() key
+# cannot be reused by a different object; concurrent.futures' own exit hook
+# joins the workers at interpreter shutdown.
+_PROCESS_POOLS: Dict[tuple, tuple] = {}
+
+
+def _get_process_pool(dataset, num_workers: int):
+    key = (id(dataset), num_workers)
+    entry = _PROCESS_POOLS.get(key)
+    if entry is not None:
+        return entry[0]
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    # spawn, not fork: the trainer process has jax (and its threads)
+    # initialized — fork would copy that state into workers (deadlock
+    # risk; os.fork is incompatible with multithreaded jax). Spawn
+    # pickles the dataset into clean interpreters instead.
+    pool = ProcessPoolExecutor(max_workers=num_workers,
+                               mp_context=mp.get_context("spawn"),
+                               initializer=_pool_init, initargs=(dataset,))
+    _PROCESS_POOLS[key] = (pool, dataset)
+    return pool
 
 
 class StagingCollator:
@@ -404,27 +451,22 @@ def iterate_batches(
         return
 
     if worker_mode == "process":
-        import multiprocessing as mp
-        from concurrent.futures import ProcessPoolExecutor
-
-        # spawn, not fork: the trainer process has jax (and its threads)
-        # initialized — fork would copy that state into workers (deadlock
-        # risk; os.fork is incompatible with multithreaded jax). Spawn
-        # pickles the dataset into clean interpreters instead.
-        pool = ProcessPoolExecutor(max_workers=num_workers,
-                                   mp_context=mp.get_context("spawn"),
-                                   initializer=_pool_init, initargs=(dataset,))
-        submit = lambda j: pool.submit(_pool_load, (j, skip_errors))  # noqa: E731
+        # cached across calls — see _get_process_pool; must NOT be closed here
+        pool = _get_process_pool(dataset, num_workers)
+        epoch = getattr(dataset, "epoch", None)
+        submit = lambda j: pool.submit(_pool_load, (j, skip_errors, epoch))  # noqa: E731
+        owns_pool = False
     elif worker_mode == "thread":
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=num_workers)
         submit = lambda j: pool.submit(load, j)  # noqa: E731
+        owns_pool = True
     else:
         raise ValueError(f"unknown worker_mode '{worker_mode}'")
 
     lookahead = max(batch_size * max(1, prefetch), num_workers)
-    with pool:
+    try:
         futures = deque(submit(j) for j in idx[:lookahead])
         pending = deque(idx[lookahead:])
         buf = []
@@ -440,6 +482,9 @@ def iterate_batches(
                 buf = []
         if buf and not drop_last:
             yield assemble(buf)
+    finally:
+        if owns_pool:
+            pool.shutdown(wait=True)
 
 
 def plot_training_history(history: List[Dict[str, float]], out_dir: str):

@@ -146,6 +146,27 @@ def test_sampling_on_surface_and_area_weighted():
     assert all(0.1 < c < 0.23 for c in counts), counts
 
 
+def test_sampling_face_mask_and_boundary():
+    """face_mask excludes faces from sampling even when they have nonzero
+    area (padded target-mesh faces), and zero-weight faces are unselectable
+    even at exact CDF boundaries (searchsorted side='right' convention)."""
+    verts, faces = _cube()
+    key = jax.random.PRNGKey(2)
+    mask = np.ones(len(faces), np.float32)
+    mask[:4] = 0.0  # exclude 4 real faces
+    got = sample_points_from_meshes(
+        jnp.asarray(verts), jnp.asarray(faces), 1500, key,
+        return_normals=True, face_mask=jnp.asarray(mask),
+    )
+    fidx = np.asarray(got.face_idx)
+    assert not np.isin(fidx, [0, 1, 2, 3]).any()
+
+    # r == 0.0 exactly, with face 0 masked out: side='left' would pick face 0
+    cdf = jnp.cumsum(jnp.asarray(mask) / mask.sum())
+    i = int(jnp.searchsorted(cdf, 0.0, side="right"))
+    assert i == 4
+
+
 def test_sampling_differentiable():
     verts, faces = _cube()
     key = jax.random.PRNGKey(1)

@@ -232,6 +232,30 @@ def test_worklist_matches_exact_uncapped():
     np.testing.assert_allclose(g_wl[:, :2], g_ref[:, :2], atol=5e-3, rtol=1e-3)
 
 
+def test_approx_mode_dispatch():
+    """approx_max_faces must never silently fall back to the exact raster:
+    with use_pallas=False it raises, and with the auto-select on a non-TPU
+    backend it routes to the work-list kernel in interpret mode (matching the
+    exact result at an uncapped budget) instead of ignoring the cap."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    rng = np.random.RandomState(5)
+    V, F = 30, 16
+    verts = np.concatenate([rng.randn(V, 2) * 0.5, rng.rand(V, 1) + 1], axis=1)
+    faces = rng.randint(0, V, (F, 3)).astype(np.int32)
+    vn = jnp.asarray(verts.astype(np.float32))
+
+    with pytest.raises(ValueError, match="work-list"):
+        soft_silhouette(vn, faces, (32, 32), use_pallas=False, approx_max_faces=100)
+
+    # auto-select (use_pallas=None) honors the cap on every backend
+    a = soft_silhouette(vn, faces, (32, 32), approx_max_faces=1024)
+    a_ref = soft_silhouette(vn, faces, (32, 32), use_pallas=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref), atol=2e-6)
+
+
 def test_worklist_cap_iou_delta(stick_spec):
     """The opt-in z-nearest per-tile cap: IoU vs the exact silhouette on the
     real model stays ~1 at the production cap (the reference itself

@@ -209,6 +209,65 @@ def test_iterate_batches_process_pool():
     assert len(seen) == 12 and 5.0 not in seen
 
 
+class _EpochDS:
+    """Module-level (spawn-picklable) dataset whose samples depend on the
+    current epoch — verifies set_epoch forwarding into persistent workers."""
+
+    def __init__(self, n):
+        self.n = n
+        self.epoch = 0
+
+    def set_epoch(self, e):
+        self.epoch = int(e)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"x": np.array([i, self.epoch], np.float32)}
+
+
+def test_wrappers_pickle_roundtrip():
+    """DecodedSampleCache / AugmentedDataset must survive pickling — spawn
+    process-pool workers unpickle the wrapped dataset, and pickle probes
+    dunders via __getattr__ BEFORE __dict__ is restored (a naive delegating
+    __getattr__ recurses forever)."""
+    import pickle
+
+    from smilify_tpu.data.augmentation import AugmentationParams, AugmentedDataset
+    from smilify_tpu.data.cache import DecodedSampleCache
+
+    base = _PicklableDS(5)
+    for wrapped in (
+        DecodedSampleCache(base),
+        AugmentedDataset(base, AugmentationParams(), multiview=False),
+        AugmentedDataset(DecodedSampleCache(base), AugmentationParams(), multiview=False),
+    ):
+        clone = pickle.loads(pickle.dumps(wrapped))
+        assert len(clone) == 5
+        np.testing.assert_array_equal(clone[1]["x"], wrapped[1]["x"])
+
+
+def test_process_pool_persistent_and_epoch_forwarding():
+    """The process pool is cached across iterate_batches calls (no per-epoch
+    respawn/re-pickle; worker caches survive) and the parent's set_epoch is
+    forwarded to the workers so per-epoch augmentation RNG stays fresh."""
+    from smilify_tpu.train import trainer
+
+    ds = _EpochDS(8)
+    rng = np.random.default_rng(0)
+    b0 = list(trainer.iterate_batches(ds, 4, rng, shuffle=False,
+                                      num_workers=2, worker_mode="process"))
+    n_pools = len(trainer._PROCESS_POOLS)
+    ds.set_epoch(3)
+    rng = np.random.default_rng(0)
+    b1 = list(trainer.iterate_batches(ds, 4, rng, shuffle=False,
+                                      num_workers=2, worker_mode="process"))
+    assert len(trainer._PROCESS_POOLS) == n_pools, "pool was respawned"
+    assert all((b["x"][:, 1] == 0).all() for b in b0)
+    assert all((b["x"][:, 1] == 3).all() for b in b1), "epoch not forwarded to workers"
+
+
 def test_decoded_sample_cache():
     """Cache serves identical samples, decodes each index once, and respects
     the byte budget."""
