@@ -175,3 +175,33 @@ def test_epoch_visualization_outputs(tmp_path):
                          cwd=REPO, timeout=600, capture_output=True, text=True)
     assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
     assert "VIZ OK" in out.stdout
+
+
+def test_shard_batch_multihost_process_local_path():
+    """Under a multi-process runtime, shard_batch must assemble the global
+    batch from per-process LOCAL slices (make_array_from_process_local_data).
+    A plain device_put would treat every host's distinct local batch as the
+    same global value — half of every host's samples silently dropped at two
+    hosts. Single-process runs with a mocked process_count: the process-local
+    assembly path must be taken for arrays and produce the same values."""
+    out = run_subprocess(
+        "import numpy as np\n"
+        "import jax\n"
+        "from smilify_tpu.train import trainer\n"
+        "mesh = trainer.data_mesh()\n"
+        "calls = []\n"
+        "real = jax.make_array_from_process_local_data\n"
+        "def recording(sharding, arr, *a, **kw):\n"
+        "    calls.append(np.asarray(arr).shape)\n"
+        "    return real(sharding, arr, *a, **kw)\n"
+        "jax.process_count = lambda: 2\n"
+        "jax.make_array_from_process_local_data = recording\n"
+        "batch = {'x': np.arange(48, dtype=np.float32).reshape(16, 3),\n"
+        "         's': np.float32(7.0)}\n"
+        "out = trainer.shard_batch(mesh, batch)\n"
+        "assert calls == [(16, 3)], calls  # arrays take the process-local path\n"
+        "np.testing.assert_array_equal(np.asarray(out['x']), batch['x'])\n"
+        "assert float(out['s']) == 7.0  # scalars stay replicated device_put\n"
+        "print('SHARD-BATCH OK')\n"
+    )
+    assert "SHARD-BATCH OK" in out
