@@ -254,9 +254,19 @@ def main(argv=None):
 
             @jax.jit
             def render_frame_views(i):
-                return jax.vmap(render_one, in_axes=(None, None, 0, 0, 0))(
-                    verts[i], joints3d[i], preds_j["view_cam_rot"][i],
-                    preds_j["view_cam_trans"][i], preds_j["view_fov"][i])
+                # lax.map (not vmap) over views: rasterization intermediates
+                # are (H, W, face_chunk)-sized, so a vmapped views axis
+                # multiplies peak HBM by V — at 18 cameras (mouse config) and
+                # res 224 that OOMs the chip. Sequential views keep the
+                # footprint V-independent; the outputs are tiny (u8 pixels).
+                def one_view(cam_args):
+                    R, T, fov = cam_args
+                    return render_one(verts[i], joints3d[i], R, T, fov)
+
+                return jax.lax.map(
+                    one_view,
+                    (preds_j["view_cam_rot"][i], preds_j["view_cam_trans"][i],
+                     preds_j["view_fov"][i]))
 
             per_view_frames = [[] for _ in range(V)]
             for i in range(n):

@@ -23,6 +23,12 @@ MESH_COLOR = (0.0, 172.0 / 255.0, 223.0 / 255.0)  # reference config.MESH_COLOR
 
 
 def _barycentrics(px, py, tri):
+    """Barycentric components as a TUPLE of (..., C) arrays, not stacked.
+
+    Stacking to (H, W, C, 3) puts 3 on the minor axis, which TPU tiling
+    T(8,128) pads to 128 — a 42x memory blowup that OOMs HBM at image sizes
+    >=224 (observed: a 26 GB allocation for f32[2,224,224,512,3]). Separate
+    (H, W, C) arrays tile cleanly."""
     ax, ay = tri[..., 0, 0], tri[..., 0, 1]
     bx, by = tri[..., 1, 0], tri[..., 1, 1]
     cx, cy = tri[..., 2, 0], tri[..., 2, 1]
@@ -31,7 +37,7 @@ def _barycentrics(px, py, tri):
     w0 = ((by - cy) * (px - cx) + (cx - bx) * (py - cy)) / den
     w1 = ((cy - ay) * (px - cx) + (ax - cx) * (py - cy)) / den
     w2 = 1.0 - w0 - w1
-    return jnp.stack([w0, w1, w2], axis=-1)
+    return w0, w1, w2
 
 
 @partial(jax.jit, static_argnames=("image_size", "face_chunk", "znear"))
@@ -68,18 +74,21 @@ def rasterize_hard(verts_ndc, faces, image_size, face_chunk=512, znear=1e-3):
         f = faces_p[idx]
         ok = valid[idx]
         tri = verts_ndc[f]  # (C, 3, 3)
-        w = _barycentrics(px[..., None], py[..., None], tri[None, None, :, :, :2])  # (H,W,C,3)
-        inside = jnp.all(w >= -1e-6, axis=-1)
-        z = jnp.einsum("hwcv,cv->hwc", w, tri[..., 2])
+        w0, w1, w2 = _barycentrics(
+            px[..., None], py[..., None], tri[None, None, :, :, :2]
+        )  # 3x (H,W,C)
+        inside = (w0 >= -1e-6) & (w1 >= -1e-6) & (w2 >= -1e-6)
+        z = w0 * tri[:, 0, 2] + w1 * tri[:, 1, 2] + w2 * tri[:, 2, 2]
         z_ok = z > znear
         hit = inside & z_ok & ok[None, None, :]
         z_masked = jnp.where(hit, z, jnp.inf)
         best_c = jnp.argmin(z_masked, axis=-1)  # (H, W)
-        best_z = jnp.take_along_axis(z_masked, best_c[..., None], axis=-1)[..., 0]
+        sel = lambda a: jnp.take_along_axis(a, best_c[..., None], axis=-1)[..., 0]  # noqa: E731
+        best_z = sel(z_masked)
         better = best_z < zbuf
         new_zbuf = jnp.where(better, best_z, zbuf)
         new_fid = jnp.where(better, idx[best_c].astype(jnp.int32), fid)
-        best_w = jnp.take_along_axis(w, best_c[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+        best_w = jnp.stack([sel(w0), sel(w1), sel(w2)], axis=-1)  # (H,W,3) small
         new_bary = jnp.where(better[..., None], best_w, bary)
         return (new_zbuf, new_fid, new_bary), None
 
