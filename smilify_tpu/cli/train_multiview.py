@@ -33,7 +33,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     # must run before any other jax API use (reference setup_ddp ordering)
-    from smilify_tpu.train.multihost import is_primary, local_batch_size, maybe_initialize_multihost
+    from smilify_tpu.train.multihost import (
+        is_primary,
+        maybe_initialize_multihost,
+        shard_dataset_for_process,
+    )
 
     multihost = maybe_initialize_multihost(args.multihost)
 
@@ -136,20 +140,9 @@ def main(argv=None):
     bs = max(n_dev, (cfg.training.batch_size // n_dev) * n_dev)
     multihost_run = multihost and jax.process_count() > 1
     if multihost_run:
-        # each host feeds its slice of the global batch from a disjoint shard
-        # of the dataset (reference DistributedSampler semantics). Shards are
-        # wrap-padded to EQUAL length: an uneven split can give one host an
-        # extra batch whose collective step the others never enter (the same
-        # reason DistributedSampler pads by repeating from the start).
-        bs = local_batch_size(bs)
-        pi, pc = jax.process_index(), jax.process_count()
-        local_idx = np.arange(pi, len(train_ds), pc)
-        per_host = -(-len(train_ds) // pc)
-        if 0 < len(local_idx) < per_host:
-            local_idx = np.concatenate([local_idx, local_idx[: per_host - len(local_idx)]])
-        train_ds = SubsetDataset(train_ds, local_idx)
-        print(f"multihost: host {pi}/{pc}, local batch {bs}, "
-              f"{len(train_ds)} local train samples")
+        # per-host batch slice + disjoint wrap-padded dataset shard
+        # (reference DistributedSampler semantics)
+        bs, train_ds = shard_dataset_for_process(train_ds, bs)
     os.makedirs(args.output_dir, exist_ok=True)
 
     H = W = res
@@ -216,7 +209,9 @@ def main(argv=None):
             # per-batch resilience: one bad sample (corrupt JPEG, NaN labels)
             # must not kill a long run (reference train_multiview_regressor.py:606)
             try:
+                host_batch = batch
                 batch = shard_batch(mesh, batch)
+                staging.guard(host_batch, batch)  # slot reuse waits for the transfer
                 state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
                     state.params, state.batch_stats, state.opt_state, batch
                 )
@@ -247,7 +242,9 @@ def main(argv=None):
             val_losses = []
             for vb in iterate_batches(val_ds, bs, host_rng, shuffle=False, fraction=1.0,
                                           collate=staging):
+                host_vb = vb
                 vb = shard_batch(mesh, vb)
+                staging.guard(host_vb, vb)
                 vloss, _ = current["eval_fn"](state.params, state.batch_stats, vb)
                 val_losses.append(float(vloss))
             if val_losses:

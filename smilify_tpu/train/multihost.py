@@ -20,24 +20,33 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-# env vars whose presence marks a managed multi-host launch (reference
-# is_distributed_launch checks RANK/WORLD_SIZE/SLURM_PROCID analogues)
-_MULTIHOST_ENV_VARS = (
-    "JAX_COORDINATOR_ADDRESS",   # explicit JAX rendezvous
-    "COORDINATOR_ADDRESS",
-    "SLURM_PROCID",              # SLURM launch
-    "TPU_WORKER_ID",             # GCE TPU pod VM metadata
-    "CLOUD_TPU_TASK_ID",
-)
-
-
 def detect_multihost_env(environ=None) -> bool:
     """True when env vars indicate this process is part of a multi-host launch
-    (the reference's ``is_distributed_launch``, train_multiview_regressor.py:114-128)."""
+    (the reference's ``is_distributed_launch``, train_multiview_regressor.py:114-128).
+
+    Presence of a worker-id var alone is NOT enough: single-host GCE TPU VMs
+    set ``TPU_WORKER_ID=0`` and any ``srun`` job sets ``SLURM_PROCID`` — a
+    world-size > 1 (or an explicit coordinator address / SMILIFY_MULTIHOST=1)
+    must corroborate, otherwise every single-host run would call
+    ``jax.distributed.initialize()`` and fight over the coordinator port.
+    """
     env = os.environ if environ is None else environ
     if env.get("SMILIFY_MULTIHOST", "").lower() in ("1", "true", "yes"):
         return True
-    return any(v in env for v in _MULTIHOST_ENV_VARS)
+    if "JAX_COORDINATOR_ADDRESS" in env or "COORDINATOR_ADDRESS" in env:
+        return True  # explicit rendezvous address — unambiguous
+    def _int(name):
+        try:
+            return int(env.get(name, ""))
+        except ValueError:
+            return 0
+    if "SLURM_PROCID" in env and _int("SLURM_NTASKS") > 1:
+        return True
+    if "TPU_WORKER_ID" in env or "CLOUD_TPU_TASK_ID" in env:
+        # pod slices list every worker host; a single-host VM lists one
+        hosts = [h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+        return len(hosts) > 1
+    return False
 
 
 def maybe_initialize_multihost(flag: bool = False, environ=None) -> bool:
@@ -83,6 +92,34 @@ def local_batch_size(global_batch_size: int, process_count: Optional[int] = None
 
     n = process_count if process_count is not None else jax.process_count()
     return max(1, global_batch_size // n)
+
+
+def shard_dataset_for_process(dataset, global_batch_size: int):
+    """DistributedSampler semantics for a map-style dataset: per-host batch
+    slice + a disjoint strided shard of the dataset, wrap-padded to EQUAL
+    length across hosts (an uneven split would give one host an extra batch
+    whose collective step the others never enter — the same reason the
+    reference's DistributedSampler pads by repeating from the start,
+    train_multiview_regressor.py:2415-2426).
+
+    Returns ``(local_batch_size, local_dataset)``. The wrapper delegates the
+    ``set_epoch`` augmentation protocol to the inner dataset.
+    """
+    import jax
+    import numpy as np
+
+    from smilify_tpu.train.trainer import SubsetDataset
+
+    bs = local_batch_size(global_batch_size)
+    pi, pc = jax.process_index(), jax.process_count()
+    local_idx = np.arange(pi, len(dataset), pc)
+    per_host = -(-len(dataset) // pc)
+    if 0 < len(local_idx) < per_host:
+        local_idx = np.concatenate([local_idx, local_idx[: per_host - len(local_idx)]])
+    local = SubsetDataset(dataset, local_idx)
+    print(f"multihost: host {pi}/{pc}, local batch {bs}, "
+          f"{len(local)} local train samples")
+    return bs, local
 
 
 def primary_only(fn):

@@ -150,7 +150,13 @@ def render_epoch_collages(
         ndc = jnp.concatenate([cam.view_to_ndc(pv)[:, :2], pv[:, 2:3]], axis=1)
         shaded = np.asarray(render_phong(verts, pv, ndc, spec.faces, (H, W)))
 
-        gt_panel = draw_joints(img, gt_kp_xy[:, ::-1], gt_vis)   # stored xy → yx
+        if gt_kp_xy.size and np.nanmax(np.abs(gt_kp_xy)) <= 1.5:
+            # normalized (y, x) convention (multiview stores / sv-from-mv,
+            # hdf5_dataset.py) → pixel (y, x); same heuristic as _quick_pck
+            gt_yx = gt_kp_xy * np.asarray([H, W], dtype=gt_kp_xy.dtype)
+        else:
+            gt_yx = gt_kp_xy[:, ::-1]  # stored pixel (x, y) → (y, x)
+        gt_panel = draw_joints(img, gt_yx, gt_vis)
         pred_panel = draw_joints(img, kp_yx, np.ones(len(kp_yx)))
         overlay = shaded * 0.6 + img * 0.4
         collage = np.concatenate([gt_panel, pred_panel, overlay, shaded], axis=1)

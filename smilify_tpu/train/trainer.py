@@ -297,16 +297,22 @@ def _pool_load(args):
         return None
 
 
-# ProcessPoolExecutors are cached across epochs: respawning per epoch would
-# pay num_workers spawn startups + dataset pickles every epoch AND discard the
+# Process pools are cached across epochs: respawning per epoch would pay
+# num_workers spawn startups + dataset pickles every epoch AND discard the
 # workers' DecodedSampleCache state, so caching would never amortize in
-# process mode. The value keeps a strong dataset reference so the id() key
-# cannot be reused by a different object; concurrent.futures' own exit hook
-# joins the workers at interpreter shutdown.
+# process mode. Each worker is its own 1-process executor and sample index j
+# always routes to worker j % W (stable across epochs): every worker caches a
+# DISJOINT 1/W shard of the dataset, so the decode-once cache holds — total
+# worker RAM ≈ one cache and no sample is ever decoded by two workers
+# (a shared W-worker pool would assign samples to whichever worker is free,
+# duplicating the cache up to W times while every epoch still re-decodes).
+# The value keeps a strong dataset reference so the id() key cannot be reused
+# by a different object; concurrent.futures' own exit hook joins the workers
+# at interpreter shutdown.
 _PROCESS_POOLS: Dict[tuple, tuple] = {}
 
 
-def _get_process_pool(dataset, num_workers: int):
+def _get_process_pools(dataset, num_workers: int):
     key = (id(dataset), num_workers)
     entry = _PROCESS_POOLS.get(key)
     if entry is not None:
@@ -318,11 +324,14 @@ def _get_process_pool(dataset, num_workers: int):
     # initialized — fork would copy that state into workers (deadlock
     # risk; os.fork is incompatible with multithreaded jax). Spawn
     # pickles the dataset into clean interpreters instead.
-    pool = ProcessPoolExecutor(max_workers=num_workers,
-                               mp_context=mp.get_context("spawn"),
-                               initializer=_pool_init, initargs=(dataset,))
-    _PROCESS_POOLS[key] = (pool, dataset)
-    return pool
+    ctx = mp.get_context("spawn")
+    pools = [
+        ProcessPoolExecutor(max_workers=1, mp_context=ctx,
+                            initializer=_pool_init, initargs=(dataset,))
+        for _ in range(num_workers)
+    ]
+    _PROCESS_POOLS[key] = (pools, dataset)
+    return pools
 
 
 class StagingCollator:
@@ -337,11 +346,18 @@ class StagingCollator:
     train_multiview_regressor.py:2415).
 
     The returned dicts alias the ring: a batch is valid until ``depth - 1``
-    further batches have been produced, so ``depth`` must exceed the number
-    of batches in flight (consumer look-ahead + 1). The training loops here
-    consume each batch before requesting the next, so the default is ample.
-    Mismatched shapes/dtypes (e.g. a ragged final batch) fall back to a
-    fresh ``np.stack`` for that batch.
+    further batches have been produced. That contract is NOT automatically
+    safe against the device: ``jax.device_put`` reads the host buffer
+    *asynchronously* (the tunneled transport streams it at ~10 MB/s while the
+    host races ahead), so a training loop that never synchronizes could
+    overwrite slot N while batch N's transfer is still in flight — silently
+    corrupting the device batch. Callers therefore register the device arrays
+    they created from a returned batch via :meth:`guard`; reusing that slot
+    then blocks until the transfer has completed (a no-op once it has).
+    Collation runs in the consumer's thread (generators are lazy), so
+    guard-before-reuse ordering holds whenever the consumer guards each batch
+    before requesting the next. Mismatched shapes/dtypes (e.g. a ragged final
+    batch) fall back to a fresh ``np.stack`` for that batch.
     """
 
     def __init__(self, depth: int = 4, inner: Callable = None):
@@ -349,6 +365,16 @@ class StagingCollator:
         self.inner = inner  # optional sample-list collate to run first
         self._ring = []  # slot -> {key: buffer}
         self._slot = 0
+        self._inflight = {}  # slot -> device arrays pending transfer
+
+    def guard(self, host_batch, device_arrays) -> None:
+        """Mark ``device_arrays`` (from ``device_put``/``shard_batch`` of
+        ``host_batch``) as reading ``host_batch``'s ring slot; the slot won't
+        be rewritten until they are ready. No-op for fallback batches."""
+        for s, bufs in enumerate(self._ring):
+            if bufs is host_batch:
+                self._inflight[s] = device_arrays
+                return
 
     def __call__(self, samples):
         if self.inner is not None:
@@ -374,6 +400,11 @@ class StagingCollator:
         )
         if not ok:
             return {k: c[0] if not lead else np.stack(c) for k, c in cols.items()}
+        inflight = self._inflight.pop(self._slot, None)
+        if inflight is not None:
+            # wait for the pending H2D transfer out of this slot (transfer
+            # only — not the compute consuming it)
+            jax.block_until_ready(inflight)
         bufs = self._ring[self._slot]
         self._slot = (self._slot + 1) % self.depth
         for k, c in cols.items():
@@ -451,10 +482,12 @@ def iterate_batches(
         return
 
     if worker_mode == "process":
-        # cached across calls — see _get_process_pool; must NOT be closed here
-        pool = _get_process_pool(dataset, num_workers)
+        # cached across calls — see _get_process_pools; must NOT be closed
+        # here. j % W affinity keeps per-worker caches disjoint.
+        pools = _get_process_pools(dataset, num_workers)
         epoch = getattr(dataset, "epoch", None)
-        submit = lambda j: pool.submit(_pool_load, (j, skip_errors, epoch))  # noqa: E731
+        submit = lambda j: pools[j % len(pools)].submit(  # noqa: E731
+            _pool_load, (j, skip_errors, epoch))
         owns_pool = False
     elif worker_mode == "thread":
         from concurrent.futures import ThreadPoolExecutor
@@ -603,7 +636,11 @@ def split_dataset_per_group(groups: np.ndarray, ratios: Tuple[float, float, floa
 
 
 class SubsetDataset:
-    """Index-subset view of a map-style dataset."""
+    """Index-subset view of a map-style dataset.
+
+    Delegates the per-epoch augmentation-RNG protocol (``set_epoch`` /
+    ``epoch``) to the wrapped dataset — a multihost shard wrapped in a subset
+    must not freeze the inner dataset's augmentations at epoch 0."""
 
     def __init__(self, dataset, indices):
         self.dataset = dataset
@@ -614,6 +651,15 @@ class SubsetDataset:
 
     def __getitem__(self, i):
         return self.dataset[int(self.indices[i])]
+
+    def set_epoch(self, epoch: int) -> None:
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_epoch is not None:
+            set_epoch(epoch)
+
+    @property
+    def epoch(self):
+        return getattr(self.dataset, "epoch", None)
 
 
 def try_resume(ckpt_dir: str, resume: Optional[str], state: TrainState,

@@ -129,11 +129,53 @@ def test_multihost_env_detection():
     from smilify_tpu.train.multihost import detect_multihost_env
 
     assert not detect_multihost_env({})
-    assert detect_multihost_env({"SLURM_PROCID": "3"})
     assert detect_multihost_env({"JAX_COORDINATOR_ADDRESS": "10.0.0.1:1234"})
-    assert detect_multihost_env({"TPU_WORKER_ID": "0"})
     assert detect_multihost_env({"SMILIFY_MULTIHOST": "1"})
     assert not detect_multihost_env({"SMILIFY_MULTIHOST": "0"})
+    # worker-id vars need world-size > 1 corroboration: single-host GCE TPU
+    # VMs set TPU_WORKER_ID=0 and any srun job sets SLURM_PROCID — those must
+    # NOT auto-trigger jax.distributed.initialize()
+    assert not detect_multihost_env({"TPU_WORKER_ID": "0"})
+    assert not detect_multihost_env(
+        {"TPU_WORKER_ID": "0", "TPU_WORKER_HOSTNAMES": "t1k-n0"})
+    assert detect_multihost_env(
+        {"TPU_WORKER_ID": "1", "TPU_WORKER_HOSTNAMES": "t1k-n0,t1k-n1"})
+    assert not detect_multihost_env({"SLURM_PROCID": "0", "SLURM_NTASKS": "1"})
+    assert not detect_multihost_env({"SLURM_PROCID": "3"})
+    assert detect_multihost_env({"SLURM_PROCID": "3", "SLURM_NTASKS": "4"})
+
+
+def test_shard_dataset_for_process(monkeypatch):
+    """Per-host shard: strided disjoint indices, wrap-padded to equal length,
+    local batch = global // process_count; the wrapper forwards set_epoch to
+    the inner dataset (frozen-at-epoch-0 augmentation regression)."""
+    import jax
+
+    from smilify_tpu.train.multihost import shard_dataset_for_process
+
+    class DS:
+        def __init__(self, n):
+            self.n, self.epoch = n, 0
+
+        def set_epoch(self, e):
+            self.epoch = int(e)
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return i
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    ds = DS(7)
+    bs, local = shard_dataset_for_process(ds, 8)
+    assert bs == 4
+    # host 1 of 2 over 7 samples: strided [1, 3, 5] wrap-padded to 4
+    assert len(local) == 4
+    assert [local[i] for i in range(4)] == [1, 3, 5, 1]
+    local.set_epoch(5)
+    assert ds.epoch == 5 and local.epoch == 5
 
 
 def test_maybe_initialize_multihost_noop():

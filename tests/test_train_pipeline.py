@@ -227,6 +227,68 @@ class _EpochDS:
         return {"x": np.array([i, self.epoch], np.float32)}
 
 
+class _PidDS:
+    """Records which worker process served each sample."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import os
+
+        return {"x": np.array([i, os.getpid()], np.int64)}
+
+
+def test_process_pool_index_affinity():
+    """Sample j must always be served by worker j % W (stable across epochs):
+    per-worker DecodedSampleCaches then hold DISJOINT shards — a free-for-all
+    pool would duplicate the cache up to W times and re-decode samples that
+    another worker already cached."""
+    from smilify_tpu.train.trainer import iterate_batches
+
+    ds = _PidDS(12)
+    pid_of = {}
+    for _ in range(2):  # two epochs: affinity must be stable across calls
+        rng = np.random.default_rng(0)
+        for b in iterate_batches(ds, 4, rng, shuffle=False,
+                                 num_workers=2, worker_mode="process"):
+            for j, pid in b["x"]:
+                pid_of.setdefault(int(j), set()).add(int(pid))
+    assert all(len(p) == 1 for p in pid_of.values()), "affinity unstable"
+    even = {next(iter(pid_of[j])) for j in pid_of if j % 2 == 0}
+    odd = {next(iter(pid_of[j])) for j in pid_of if j % 2 == 1}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+
+
+def test_staging_collator_guard_blocks_slot_reuse(monkeypatch):
+    """Reusing a ring slot must wait for the device transfer registered
+    against it (device_put reads the host buffer asynchronously — an
+    unguarded overwrite corrupts the in-flight batch); unguarded slots and
+    fallback batches must not wait."""
+    from smilify_tpu.train import trainer
+
+    waited = []
+    monkeypatch.setattr(trainer.jax, "block_until_ready",
+                        lambda tok: waited.append(tok))
+    coll = trainer.StagingCollator(depth=2)
+    samples = [{"x": np.zeros(3, np.float32)}]
+    b0 = coll(samples)
+    coll.guard(b0, "tok0")
+    coll(samples)  # slot 1: no wait
+    assert waited == []
+    b2 = coll(samples)  # slot 0 reused -> waits on tok0
+    assert waited == ["tok0"]
+    coll.guard({"x": np.zeros(3, np.float32)}, "alien")  # not a ring batch: no-op
+    coll(samples)  # slot 1 reused, never guarded -> no wait
+    assert waited == ["tok0"]
+    coll.guard(b2, "tok2")
+    coll(samples)  # slot 0 again
+    assert waited == ["tok0", "tok2"]
+
+
 def test_wrappers_pickle_roundtrip():
     """DecodedSampleCache / AugmentedDataset must survive pickling — spawn
     process-pool workers unpickle the wrapped dataset, and pickle probes
