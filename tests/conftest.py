@@ -49,3 +49,13 @@ def mouse_spec():
     from smilify_tpu.core.spec import load_model_spec
 
     return load_model_spec(MOUSE_PKL, align_symmetry=False)
+
+
+@pytest.fixture(scope="session")
+def mouse_repose_long_spec():
+    from smilify_tpu.core.spec import load_model_spec
+
+    return load_model_spec(
+        str(REFERENCE_MODELS / "SMILy_Mouse_static_joints_REPOSE_LONG.pkl"),
+        align_symmetry=False,
+    )

@@ -26,7 +26,7 @@ def _load(name):
     return np.load(path)
 
 
-@pytest.mark.parametrize("name", ["stick", "mouse"])
+@pytest.mark.parametrize("name", ["stick", "mouse", "mouse_repose_long"])
 def test_rodrigues_parity(name):
     fx = _load(name)
     theta = fx["theta"]
@@ -34,7 +34,7 @@ def test_rodrigues_parity(name):
     np.testing.assert_allclose(Rs, fx["rodrigues_Rs"], atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["stick", "mouse"])
+@pytest.mark.parametrize("name", ["stick", "mouse", "mouse_repose_long"])
 def test_fk_parity(name, request):
     fx = _load(name)
     Rs = jnp.asarray(fx["rodrigues_Rs"])
@@ -53,7 +53,8 @@ def test_fk_parity(name, request):
 
 @pytest.mark.parametrize(
     "name,fixture",
-    [("stick", "stick_spec"), ("mouse", "mouse_spec")],
+    [("stick", "stick_spec"), ("mouse", "mouse_spec"),
+     ("mouse_repose_long", "mouse_repose_long_spec")],
 )
 def test_forward_parity(name, fixture, request):
     spec = request.getfixturevalue(fixture)

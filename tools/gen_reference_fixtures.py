@@ -22,6 +22,11 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
 MODELS = {
     "stick": ("3D_model_prep/SMILy_STICK.pkl", False),
     "mouse": ("3D_model_prep/SMILy_Mouse_static_joints.pkl", True),
+    # reposed variant: different template/joint layout than the base mouse —
+    # golden parity on it pins the loader + forward across the whole bundled
+    # model family, not just the two originals
+    "mouse_repose_long": (
+        "3D_model_prep/SMILy_Mouse_static_joints_REPOSE_LONG.pkl", True),
 }
 
 
