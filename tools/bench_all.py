@@ -407,6 +407,90 @@ def bench_singleview_train_step(spec):
     return out
 
 
+def bench_multiview_train_step(spec, n_views=4, res=224):
+    """Full supervised multi-view training step (forward + backward + Adam):
+    shared backbone over B*V views, cross-view fusion, IEF body head, per-view
+    camera heads, and the complete loss — body-param MSEs, per-view
+    visibility-weighted 2D keypoints, world-space 3D keypoints, camera-param
+    losses, and the differentiable DLT triangulation-consistency term — the
+    reference's train_multiview_regressor hot loop (:582-661)."""
+    import optax
+
+    from smilify_tpu.models.multiview import (
+        MULTIVIEW_DEFAULT_LOSS_WEIGHTS, MultiViewConfig, MultiViewSMILRegressor,
+        compute_multiview_batch_loss, decode_multiview_predictions,
+    )
+    from smilify_tpu.train.trainer import make_train_step
+
+    cfg = MultiViewConfig(backbone="resnet50", n_pose=spec.n_joints - 1,
+                          n_betas=spec.n_betas, n_joints=spec.n_joints,
+                          max_views=n_views, decoder_dim=256, decoder_depth=4,
+                          ief_iters=3, fusion_heads=4, fusion_layers=2,
+                          camera_delta_mode=False)
+    model = MultiViewSMILRegressor(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, n_views, res, res, 3)),
+        jnp.ones((1, n_views), bool), jnp.arange(n_views)[None],
+    )
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    def apply_fn(variables, batch, train):
+        (raw, history), mutated = model.apply(
+            variables, batch["images"], batch["view_mask"], batch["camera_ids"],
+            train=train, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        preds = decode_multiview_predictions(cfg, raw, spec)
+        preds["ief_history"] = history
+        return preds, mutated.get("batch_stats", {})
+
+    def loss_fn(preds, batch):
+        return compute_multiview_batch_loss(
+            spec, cfg, preds, batch["targets"], batch["view_mask"],
+            MULTIVIEW_DEFAULT_LOSS_WEIGHTS, image_size=(res, res),
+        )
+
+    step = make_train_step(apply_fn, loss_fn, tx)
+
+    out = {"backbone": "resnet50", "resolution": res, "views": n_views,
+           "losses": "param MSEs + per-view kp2d + kp3d + cameras + DLT consistency"}
+    rng = np.random.RandomState(0)
+    K, P = spec.n_joints, spec.n_joints - 1
+    eye = np.tile(np.eye(3, dtype=np.float32), (1, n_views, 1, 1))
+    for B in (2, 8):
+        targets = {
+            "global_rot": jnp.zeros((B, 3)),
+            "joint_rot": jnp.zeros((B, P, 3)),
+            "betas": jnp.asarray(np.tile(spec.shape_mean_betas, (B, 1))),
+            "trans": jnp.zeros((B, 3)),
+            "keypoints_2d": jnp.asarray(rng.rand(B, n_views, K, 2), jnp.float32),
+            "kp_visibility": jnp.ones((B, n_views, K)),
+            "keypoints_3d": jnp.asarray(rng.rand(B, K, 3), jnp.float32),
+            "view_fov": jnp.full((B, n_views), 60.0),
+            "view_cam_rot": jnp.asarray(np.tile(eye, (B, 1, 1, 1))),
+            "view_cam_trans": jnp.tile(jnp.asarray([0.0, 0, 2.7]), (B, n_views, 1)),
+        }
+        batch = {
+            "images": jnp.asarray(rng.rand(B, n_views, res, res, 3), jnp.float32),
+            "view_mask": jnp.ones((B, n_views), bool),
+            "camera_ids": jnp.tile(jnp.arange(n_views)[None], (B, 1)),
+            "targets": targets,
+        }
+
+        def chain(state):
+            p, bs, s = state
+            p, bs, s, _, _ = step(p, bs, s, batch)
+            return p, bs, s
+
+        dt = timeit_chain(chain, (params, batch_stats, opt_state), n1=5, n2=20)
+        out[f"batch{B}_ms"] = dt * 1000
+        out[f"batch{B}_frames_per_sec"] = B / dt
+        out[f"batch{B}_view_images_per_sec"] = B * n_views / dt
+    return out
+
+
 def bench_multiview_inference(spec, n_views, res, label):
     from smilify_tpu.models.multiview import (
         MultiViewConfig, MultiViewSMILRegressor, decode_multiview_predictions,
@@ -460,43 +544,74 @@ def bench_multiview_inference(spec, n_views, res, label):
 
 
 def main():
+    import argparse
+
     from smilify_tpu.core.spec import load_model_spec
+
+    ap = argparse.ArgumentParser(description="detailed benchmark suite")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run only configs whose key contains any of these "
+                         "substrings; results merge into the existing "
+                         "BENCH_DETAIL.json instead of replacing it")
+    args = ap.parse_args()
 
     stick = load_model_spec(STICK, align_symmetry=False)
     mouse = load_model_spec(MOUSE, align_symmetry=False)
 
+    def wanted(key):
+        return args.only is None or any(s in key for s in args.only)
+
     report = {"device": str(jax.devices()[0]), "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
-    print("1/5 SMIL forward ...", flush=True)
-    report["config1_smil_forward_stick"] = bench_forward(stick)
-    print("2/5 fitter_3d chamfer registration ...", flush=True)
-    report["config2_fitter3d_atta"] = bench_fitter3d(stick)
-    vpu_peak = measure_vpu_peak_gflops()
-    print(f"measured VPU FMA peak: {vpu_peak:.0f} GFLOP/s", flush=True)
-    print("3/5 SMALFitter full step ...", flush=True)
-    report["config3_smalfitter_512"] = bench_fitter_step(stick, vpu_peak_gflops=vpu_peak)
-    print("3b/5 SMALFitter windowed (WINDOW_SIZE=10) ...", flush=True)
-    report["config3b_smalfitter_512_window10"] = bench_fitter_step(
-        stick, n_frames=10, vpu_peak_gflops=vpu_peak)
-    print("3c/5 SMALFitter windowed, work-list raster (top-800 z-nearest/tile) ...", flush=True)
-    report["config3c_smalfitter_512_window10_worklist"] = bench_fitter_step(
-        stick, n_frames=10, approx_max_faces=800, vpu_peak_gflops=vpu_peak)
-    report["config3c_smalfitter_512_window10_worklist"]["iou_vs_exact"] = (
-        measure_worklist_iou(stick, 800))
-    print("3d/5 SMALFitter windowed, work-list raster (top-700) ...", flush=True)
-    report["config3d_smalfitter_512_window10_worklist700"] = bench_fitter_step(
-        stick, n_frames=10, approx_max_faces=700, vpu_peak_gflops=vpu_peak)
-    report["config3d_smalfitter_512_window10_worklist700"]["iou_vs_exact"] = (
-        measure_worklist_iou(stick, 700))
-    print("4/5 single-view inference ...", flush=True)
-    report["config4_singleview_resnet50"] = bench_singleview_inference(stick)
-    print("4b/5 single-view train step ...", flush=True)
-    report["config4b_singleview_train_step"] = bench_singleview_train_step(stick)
-    print("5a/5 multi-view 4-cam stick ...", flush=True)
-    report["config5a_multiview_4cam_stick"] = bench_multiview_inference(stick, 4, 224, "stick4")
-    print("5b/5 multi-view 18-cam mouse ...", flush=True)
-    report["config5b_multiview_18cam_mouse"] = bench_multiview_inference(mouse, 18, 224, "mouse18")
+    if wanted("config1_smil_forward_stick"):
+        print("1/5 SMIL forward ...", flush=True)
+        report["config1_smil_forward_stick"] = bench_forward(stick)
+    if wanted("config2_fitter3d_atta"):
+        print("2/5 fitter_3d chamfer registration ...", flush=True)
+        report["config2_fitter3d_atta"] = bench_fitter3d(stick)
+    if any(wanted(f"config3{s}") for s in ("", "b", "c", "d")):
+        vpu_peak = measure_vpu_peak_gflops()
+        print(f"measured VPU FMA peak: {vpu_peak:.0f} GFLOP/s", flush=True)
+    if wanted("config3_smalfitter_512"):
+        print("3/5 SMALFitter full step ...", flush=True)
+        report["config3_smalfitter_512"] = bench_fitter_step(stick, vpu_peak_gflops=vpu_peak)
+    if wanted("config3b_smalfitter_512_window10"):
+        print("3b/5 SMALFitter windowed (WINDOW_SIZE=10) ...", flush=True)
+        report["config3b_smalfitter_512_window10"] = bench_fitter_step(
+            stick, n_frames=10, vpu_peak_gflops=vpu_peak)
+    if wanted("config3c_smalfitter_512_window10_worklist"):
+        print("3c/5 SMALFitter windowed, work-list raster (top-800 z-nearest/tile) ...", flush=True)
+        report["config3c_smalfitter_512_window10_worklist"] = bench_fitter_step(
+            stick, n_frames=10, approx_max_faces=800, vpu_peak_gflops=vpu_peak)
+        report["config3c_smalfitter_512_window10_worklist"]["iou_vs_exact"] = (
+            measure_worklist_iou(stick, 800))
+    if wanted("config3d_smalfitter_512_window10_worklist700"):
+        print("3d/5 SMALFitter windowed, work-list raster (top-700) ...", flush=True)
+        report["config3d_smalfitter_512_window10_worklist700"] = bench_fitter_step(
+            stick, n_frames=10, approx_max_faces=700, vpu_peak_gflops=vpu_peak)
+        report["config3d_smalfitter_512_window10_worklist700"]["iou_vs_exact"] = (
+            measure_worklist_iou(stick, 700))
+    if wanted("config4_singleview_resnet50"):
+        print("4/5 single-view inference ...", flush=True)
+        report["config4_singleview_resnet50"] = bench_singleview_inference(stick)
+    if wanted("config4b_singleview_train_step"):
+        print("4b/5 single-view train step ...", flush=True)
+        report["config4b_singleview_train_step"] = bench_singleview_train_step(stick)
+    if wanted("config5a_multiview_4cam_stick"):
+        print("5a/5 multi-view 4-cam stick ...", flush=True)
+        report["config5a_multiview_4cam_stick"] = bench_multiview_inference(stick, 4, 224, "stick4")
+    if wanted("config5b_multiview_18cam_mouse"):
+        print("5b/5 multi-view 18-cam mouse ...", flush=True)
+        report["config5b_multiview_18cam_mouse"] = bench_multiview_inference(mouse, 18, 224, "mouse18")
+    if wanted("config5c_multiview_train_step"):
+        print("5c/5 multi-view train step (4-cam stick) ...", flush=True)
+        report["config5c_multiview_train_step"] = bench_multiview_train_step(stick)
 
     out = os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")
+    if args.only is not None and os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(report)
+        report = merged
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
