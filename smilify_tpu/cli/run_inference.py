@@ -121,6 +121,10 @@ def main(argv=None):
     ap.add_argument("--sleap-predictions", default=None,
                     help=".slp/.h5 predictions for bbox_crop + keypoint overlays")
     ap.add_argument("--joint-lookup", default=None, help="sleap→model joint CSV")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard inference batches over all local devices "
+                         "(the reference's 2-phase frame-sharded DDP pipeline, "
+                         "run_multiview_inference.py:664-930, as one sharded jit)")
     args = ap.parse_args(argv)
 
     import jax
@@ -159,6 +163,16 @@ def main(argv=None):
 
     is_mv = cfg.mode == "multi_view"
 
+    mesh, n_dev = None, 1
+    if args.shard:
+        from smilify_tpu.train.trainer import data_mesh, replicate
+
+        mesh = data_mesh()
+        n_dev = mesh.devices.size
+        params = replicate(mesh, params)
+        batch_stats = replicate(mesh, batch_stats)
+        print(f"sharding inference batches over {n_dev} device(s)")
+
     @jax.jit
     def predict(batch_imgs, view_mask=None, cam_ids=None):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -181,14 +195,26 @@ def main(argv=None):
     keys = ("images", "view_mask", "camera_indices") if is_mv else ("image",)
     for i in range(0, n, bs):
         idxs = list(range(i, min(n, i + bs)))
+        n_real = len(idxs)
+        if n_dev > 1:
+            # pad the ragged final batch so the leading axis stays divisible
+            # by the mesh (static shapes under jit); padded rows are trimmed
+            # from the predictions below
+            idxs += [idxs[-1]] * ((-n_real) % n_dev)
         samples = [dataset[j] for j in idxs]
         batch = staging([{k: s[k] for k in keys} for s in samples])
+        if mesh is not None:
+            from smilify_tpu.train.trainer import shard_batch
+
+            batch_dev = shard_batch(mesh, batch)
+            staging.guard(batch, batch_dev)
+            batch = batch_dev
         if is_mv:
             preds = predict(batch["images"], batch["view_mask"],
                             batch["camera_indices"])
         else:
             preds = predict(batch["image"])
-        all_preds.append({k: np.asarray(v) for k, v in preds.items()})
+        all_preds.append({k: np.asarray(v)[:n_real] for k, v in preds.items()})
 
     traj = {k: np.concatenate([p[k] for p in all_preds]) for k in all_preds[0]}
 

@@ -205,3 +205,32 @@ def test_shard_batch_multihost_process_local_path():
         "print('SHARD-BATCH OK')\n"
     )
     assert "SHARD-BATCH OK" in out
+
+
+def test_sharded_inference_cli_matches_single_device():
+    """`run_inference --shard` on an 8-device mesh reproduces the unsharded
+    trajectory exactly, including the padded ragged final batch (5 frames,
+    batch 4 → batches of 4 and 1, both padded to the mesh size). The
+    reference needs a 2-phase DDP pipeline with pickled temp predictions for
+    this (run_multiview_inference.py:664-930)."""
+    out = run_subprocess(
+        "import jax, numpy as np, pathlib, tempfile\n"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')\n"
+        "assert len(jax.devices()) == 8, jax.devices()\n"
+        "from tests.test_serving_export import _make_checkpoint\n"
+        "tmp = pathlib.Path(tempfile.mkdtemp())\n"
+        "ckpt = _make_checkpoint(tmp, 'single_view')\n"
+        "from smilify_tpu.cli.run_inference import main\n"
+        "TEX = '/root/reference/data/replicAnt_trials/replicAnt-x-SMIL-TEX'\n"
+        "a1, a2 = str(tmp / 'plain.npz'), str(tmp / 'shard.npz')\n"
+        "common = ['--checkpoint', ckpt, '--data-path', TEX,\n"
+        "          '--max-frames', '5', '--batch-size', '4']\n"
+        "main(common + ['--export-animation', a1])\n"
+        "main(common + ['--export-animation', a2, '--shard'])\n"
+        "d1, d2 = np.load(a1), np.load(a2)\n"
+        "for k in ('poses', 'trans', 'betas'):\n"
+        "    np.testing.assert_allclose(d1[k], d2[k], atol=2e-5, rtol=1e-5, err_msg=k)\n"
+        "print('SHARDED-INFERENCE-OK')\n",
+        timeout=1200,
+    )
+    assert "SHARDED-INFERENCE-OK" in out
