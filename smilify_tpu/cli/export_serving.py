@@ -28,6 +28,10 @@ def main(argv=None):
                     help="batch size (0 = symbolic/any)")
     ap.add_argument("--platforms", default="cpu,tpu",
                     help="comma-separated lowering platforms")
+    ap.add_argument("--shard-data", action="store_true",
+                    help="export SPMD-partitioned over a ('data',) mesh of all "
+                         "visible devices (fixed --batch divisible by the "
+                         "device count)")
     ap.add_argument("--verify", action="store_true",
                     help="deserialize and compare against the live model")
     args = ap.parse_args(argv)
@@ -40,10 +44,12 @@ def main(argv=None):
 
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     meta = export_serving_artifact(args.checkpoint, args.output,
-                                   batch_size=args.batch, platforms=platforms)
+                                   batch_size=args.batch, platforms=platforms,
+                                   shard_data=args.shard_data)
+    sharded = f", sharded over {meta['n_devices']} devices" if meta["data_sharded"] else ""
     print(f"exported {meta['mode']} model ({meta['backbone']}, "
           f"res {meta['input_resolution']}, batch {meta['batch_size']}, "
-          f"platforms {','.join(meta['platforms'])}) "
+          f"platforms {','.join(meta['platforms'])}{sharded}) "
           f"→ {args.output} ({meta['artifact_bytes']/1e6:.1f} MB)")
 
     if args.verify:

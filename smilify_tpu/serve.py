@@ -84,10 +84,17 @@ def export_serving_artifact(
     out_path: str,
     batch_size: int = 0,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    shard_data: bool = False,
 ) -> Dict[str, Any]:
     """Checkpoint → serialized serving artifact at ``out_path`` (+ ``.json``
     sidecar). Returns the metadata dict. ``batch_size=0`` exports a
-    shape-polymorphic batch dimension."""
+    shape-polymorphic batch dimension.
+
+    ``shard_data=True`` exports the step SPMD-partitioned over a
+    ``('data',)`` mesh spanning all visible devices: weights replicated,
+    batch axis sharded — the artifact then serves on a multi-chip slice with
+    the same device count (batch_size must be fixed and divisible by it).
+    """
     import jax
     from jax import export as jexport
 
@@ -100,7 +107,25 @@ def export_serving_artifact(
     res = cfg.model.input_resolution or 224
     n_views = rcfg.max_views if is_mv else None
 
+    n_dev = 1
     predict = build_predict_fn(model, rcfg, spec, params, batch_stats, is_mv)
+    if shard_data:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from smilify_tpu.train.trainer import data_mesh
+
+        mesh = data_mesh()
+        n_dev = mesh.devices.size
+        if batch_size == 0 or batch_size % n_dev:
+            raise ValueError(
+                f"shard_data needs a fixed batch divisible by the mesh "
+                f"({n_dev} devices), got batch_size={batch_size}"
+            )
+        arg_shardings = tuple(
+            NamedSharding(mesh, P("data", *([None] * (len(spec_.shape) - 1))))
+            for spec_ in _arg_specs(res, batch_size, n_views)
+        )
+        predict = jax.jit(predict.__wrapped__, in_shardings=arg_shardings)
     exported = jexport.export(predict, platforms=tuple(platforms))(
         *_arg_specs(res, batch_size, n_views)
     )
@@ -115,6 +140,8 @@ def export_serving_artifact(
         "input_resolution": res,
         "n_views": n_views,
         "batch_size": batch_size or "symbolic",
+        "data_sharded": bool(shard_data),
+        "n_devices": n_dev,
         "platforms": list(platforms),
         "backbone": cfg.model.backbone_name,
         "output_keys": sorted(_output_keys(exported)),
@@ -156,6 +183,23 @@ class ServingModel:
         if os.path.exists(path + ".json"):
             with open(path + ".json") as f:
                 self.meta = json.load(f)
+        self._shard = None
+        if self.meta and self.meta.get("data_sharded"):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from smilify_tpu.train.trainer import data_mesh
+
+            need = self.meta["n_devices"]
+            have = len(jax.devices())
+            if have < need:
+                raise RuntimeError(
+                    f"artifact was exported for a {need}-device mesh; "
+                    f"{have} visible"
+                )
+            mesh = data_mesh(need)
+            self._shard = lambda a: jax.device_put(
+                a, NamedSharding(mesh, P("data", *([None] * (a.ndim - 1))))
+            )
         self._call = jax.jit(self.exported.call)
 
     @property
@@ -163,6 +207,10 @@ class ServingModel:
         return self.exported.in_avals
 
     def __call__(self, *args):
+        if self._shard is not None:
+            import numpy as np
+
+            args = tuple(self._shard(np.asarray(a)) for a in args)
         return self._call(*args)
 
 

@@ -234,3 +234,37 @@ def test_sharded_inference_cli_matches_single_device():
         timeout=1200,
     )
     assert "SHARDED-INFERENCE-OK" in out
+
+
+def test_sharded_serving_artifact():
+    """AOT serving artifact exported SPMD-partitioned over an 8-device
+    ('data',) mesh: deserialize + call reproduces the live model exactly.
+    No reference analogue (multi-GPU serving there means redeploying the DDP
+    inference script)."""
+    out = run_subprocess(
+        "import jax, numpy as np, pathlib, tempfile\n"
+        "jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')\n"
+        "assert len(jax.devices()) == 8, jax.devices()\n"
+        "from tests.test_serving_export import _make_checkpoint, _inputs\n"
+        "tmp = pathlib.Path(tempfile.mkdtemp())\n"
+        "ckpt = _make_checkpoint(tmp, 'single_view')\n"
+        "from smilify_tpu.serve import (build_predict_fn,\n"
+        "    export_serving_artifact, load_serving_artifact)\n"
+        "out = str(tmp / 'sharded.jaxexport')\n"
+        "meta = export_serving_artifact(ckpt, out, batch_size=16,\n"
+        "                               platforms=('cpu',), shard_data=True)\n"
+        "assert meta['data_sharded'] and meta['n_devices'] == 8, meta\n"
+        "served_model = load_serving_artifact(out)\n"
+        "inputs = _inputs('single_view', 16)\n"
+        "served = served_model(*inputs)\n"
+        "from smilify_tpu.cli.run_inference import load_model_from_checkpoint\n"
+        "model, cfg, rcfg, spec, params, bs, _ = load_model_from_checkpoint(ckpt)\n"
+        "live = build_predict_fn(model, rcfg, spec, params, bs, False)(*inputs)\n"
+        "for k in live:\n"
+        "    np.testing.assert_allclose(np.asarray(served[k], np.float32),\n"
+        "                               np.asarray(live[k], np.float32),\n"
+        "                               rtol=0, atol=2e-5, err_msg=k)\n"
+        "print('SHARDED-SERVING-OK', served['global_rot'].shape)\n",
+        timeout=1200,
+    )
+    assert "SHARDED-SERVING-OK" in out
