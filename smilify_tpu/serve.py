@@ -134,6 +134,14 @@ def export_serving_artifact(
     with open(out_path, "wb") as f:
         f.write(blob)
 
+    try:
+        output_keys = sorted(_output_keys(exported))
+        output_keys_error = None
+    except (AttributeError, TypeError) as e:
+        # out_tree introspection is version-sensitive; record the failure in
+        # the sidecar instead of silently claiming the artifact has no outputs.
+        output_keys = []
+        output_keys_error = f"{type(e).__name__}: {e}"
     meta = {
         "format_version": FORMAT_VERSION,
         "mode": cfg.mode,
@@ -144,24 +152,28 @@ def export_serving_artifact(
         "n_devices": n_dev,
         "platforms": list(platforms),
         "backbone": cfg.model.backbone_name,
-        "output_keys": sorted(_output_keys(exported)),
+        "output_keys": output_keys,
         "jax_version": jax.__version__,
         "artifact_bytes": len(blob),
         "checkpoint": os.path.abspath(checkpoint),
     }
+    if output_keys_error is not None:
+        meta["output_keys_error"] = output_keys_error
     with open(out_path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
     return meta
 
 
 def _output_keys(exported) -> Tuple[str, ...]:
-    try:
-        leaves_or_keys = exported.out_tree.unflatten(
-            [None] * exported.out_tree.num_leaves
-        )
-        return tuple(leaves_or_keys.keys())
-    except Exception:
-        return ()
+    """Recover the output dict's key names from the exported out_tree.
+
+    Raises AttributeError/TypeError if the jax.export out_tree layout changes;
+    the caller records that in the sidecar rather than swallowing it.
+    """
+    leaves_or_keys = exported.out_tree.unflatten(
+        [None] * exported.out_tree.num_leaves
+    )
+    return tuple(leaves_or_keys.keys())
 
 
 class ServingModel:
