@@ -166,11 +166,27 @@ def allgather(tree):
     """The full global value of (possibly non-addressable, multi-host-sharded)
     arrays as host numpy on EVERY process. All processes must call this
     together (it is a collective); gate only the subsequent host-side write to
-    process 0. Single-process: a plain device_get."""
+    process 0. Single-process: a plain device_get.
+
+    Non-fully-addressable jax.Arrays (the normal case: fitter params sharded
+    over a multi-host mesh) need ``tiled=True`` — ``process_allgather``'s
+    default stacks a new leading process axis and *raises* on global arrays
+    ("only supports tiled=True", found by the real 2-process cluster test,
+    tests/test_multihost_real.py). Fully-addressable leaves are replicated
+    host copies of the same global value, so they device_get directly rather
+    than growing a bogus process axis.
+    """
     import jax
 
     if jax.process_count() == 1:
         return jax.device_get(tree)
     from jax.experimental import multihost_utils
 
-    return multihost_utils.process_allgather(tree)
+    def gather(x):
+        if x is None:
+            return None
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
+
+    return jax.tree.map(gather, tree)
