@@ -65,6 +65,7 @@ def test_j_regressor_from_weights():
     assert (reg > 0).sum(axis=1).max() <= 8
 
 
+@pytest.mark.smoke
 def test_export_import_roundtrip(tmp_path):
     """An authored pkl must load through the real ModelSpec loader."""
     from smilify_tpu.core.spec import load_model_spec

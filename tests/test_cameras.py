@@ -5,6 +5,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tests._cpu_pin import cpu_pinned
+
+pytestmark = cpu_pinned()  # dispatch-bound: CPU-subprocess on TPU runs
+
 from smilify_tpu.render.cameras import (
     FoVCamera,
     camera_from_opencv,

@@ -41,6 +41,7 @@ def _state(val_losses):
     )
 
 
+@pytest.mark.smoke
 def test_best_model_and_epoch_checkpoints(tmp_path):
     from smilify_tpu.train.trainer import end_of_epoch_outputs
 

@@ -14,6 +14,7 @@ from smilify_tpu.train.config import (
 )
 
 
+@pytest.mark.smoke
 def test_defaults_valid():
     cfg = TrainingConfig()
     cfg.validate()
@@ -86,6 +87,7 @@ def test_round_trip(tmp_path):
     assert cfg2.loss_curriculum.base_weights == cfg.loss_curriculum.base_weights
 
 
+@pytest.mark.smoke
 def test_base_weights_match_reference_defaults():
     assert DEFAULT_BASE_WEIGHTS["keypoint_2d"] == 0.1
     assert DEFAULT_BASE_WEIGHTS["keypoint_3d"] == 0.25

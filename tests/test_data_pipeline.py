@@ -57,6 +57,7 @@ def _make_mv_samples(n=3, v=2, k=8, res=32, rng=None):
     return samples
 
 
+@pytest.mark.smoke
 def test_multiview_hdf5_roundtrip(tmp_path):
     path = str(tmp_path / "mv.h5")
     samples = _make_mv_samples()
@@ -106,6 +107,7 @@ def test_singleview_hdf5_roundtrip(tmp_path):
     assert (s["silhouette"] == samples[0]["silhouette"]).mean() > 0.9
 
 
+@pytest.mark.smoke
 def test_canonicalize_roundtrip():
     rng = np.random.RandomState(1)
     V, K = 4, 12

@@ -2,6 +2,7 @@
 dispatch must match per-iteration dispatch (same math, same Adam trajectory),
 including the non-divisible remainder path and per-iteration callbacks."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ def _make_fitter(spec):
     return SmalFitter(spec, data, (H, W))
 
 
+@pytest.mark.smoke
 def test_chunked_stage_matches_single_steps():
     spec = toy_model_spec()
     weights = StageWeights(

@@ -11,6 +11,10 @@ import pytest
 
 from tests.conftest import FIXTURES
 
+from tests._cpu_pin import cpu_pinned
+
+pytestmark = cpu_pinned()  # dispatch-bound: CPU-subprocess on TPU runs
+
 import jax.numpy as jnp
 
 from smilify_tpu.core.lbs import batch_rodrigues, global_rigid_transformation, smil_forward

@@ -68,6 +68,7 @@ def test_grad_accum_matches_no_accum():
     assert "ACCUM OK" in out
 
 
+@pytest.mark.smoke
 def test_shard_batch_layout():
     """shard_batch shards the leading axis over the mesh and replicates
     scalars; replicate() fully replicates a pytree."""

@@ -4,6 +4,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tests._cpu_pin import cpu_pinned
+
+pytestmark = cpu_pinned()  # dispatch-bound: CPU-subprocess on TPU runs
+
 from smilify_tpu.ops.knn import knn_points
 from smilify_tpu.ops.mesh_ops import (
     chamfer_distance,

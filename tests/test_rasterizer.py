@@ -180,6 +180,7 @@ def test_pallas_matches_ref_gradient():
     np.testing.assert_allclose(g_pal[:, :2], g_ref[:, :2], atol=5e-3, rtol=1e-3)
 
 
+@pytest.mark.smoke
 def test_silhouette_iou_parity_pallas_vs_oracle(stick_spec):
     """The BASELINE parity metric: IoU between the Pallas silhouette and the
     oracle on the real model must be ~1."""

@@ -39,6 +39,7 @@ def _gt_predictions(spec, n=2, seed=0):
     return preds
 
 
+@pytest.mark.smoke
 def test_ground_truth_losses_are_zero(stick_spec):
     """predictions := GT ⇒ all loss components ≈ 0."""
     spec = stick_spec
