@@ -197,6 +197,92 @@ class UNet(nn.Module):
         return BackboneFeatures(pooled=pooled, tokens=tokens, spatial=spatial)
 
 
+class BasicBlock(nn.Module):
+    """torchvision ResNet BasicBlock (resnet18/34): two 3×3 convs + identity."""
+
+    features: int
+    strides: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda: nn.BatchNorm(use_running_average=not train, dtype=self.dtype)  # noqa: E731
+        residual = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
+                    padding=1, use_bias=False, dtype=self.dtype)(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(y)
+        y = norm()(y)
+        if residual.shape[-1] != self.features or self.strides != 1:
+            residual = nn.Conv(self.features, (1, 1), strides=(self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype)(residual)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet34Encoder(nn.Module):
+    """torchvision resnet34 trunk exposing the five UNet skip stages.
+
+    Stage channels/strides (64,/2) (64,/4) (128,/8) (256,/16) (512,/32) —
+    exactly the feature pyramid the reference's timm-encoder UNets consume
+    (``neuralSMIL/backbone_factory.py:319-514``). Weights port from a
+    torchvision resnet34 state dict via
+    ``weight_port.load_ported_resnet`` (BasicBlock naming).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        stages = [x]                                   # (B, H/2, W/2, 64)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, n_blocks in enumerate(self.stage_sizes):
+            for b in range(n_blocks):
+                strides = 2 if (b == 0 and i > 0) else 1
+                x = BasicBlock(64 * 2**i, strides=strides, dtype=self.dtype)(x, train=train)
+            stages.append(x)                           # /4, /8, /16, /32
+        return stages
+
+
+class UNetResNet(nn.Module):
+    """UNet with a (portable, pretrained) resnet34 encoder + skip decoder —
+    the reference's ``unet_resnet34`` (timm encoder + skip decoder,
+    ``backbone_factory.py:319-514``), here with the encoder weight-portable
+    from torchvision so ``model.pretrained_npz`` works for UNet variants too.
+    """
+
+    decoder_widths: Sequence[int] = (256, 128, 64, 32)
+    out_dim: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> BackboneFeatures:
+        x = normalize_imagenet(x).astype(self.dtype)
+        stages = ResNet34Encoder(dtype=self.dtype, name="encoder")(x, train=train)
+        bottleneck = stages[-1]                        # (B, H/32, W/32, 512)
+        y = bottleneck
+        # decode /32 → /2 against skips [/16, /8, /4, /2]
+        for w, skip in zip(self.decoder_widths, reversed(stages[:-1])):
+            y = jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+            y = nn.Conv(w, (3, 3), padding=1, dtype=self.dtype)(y)
+            y = jnp.concatenate([y, skip], axis=-1)
+            y = ConvBlock(w, dtype=self.dtype)(y, train=train)
+        y = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype)(y)
+        spatial = y.astype(jnp.float32)                # (B, H/2, W/2, out_dim)
+        pooled = jnp.mean(bottleneck.astype(jnp.float32), axis=(1, 2))
+        # decoder tokens at 1/16 input resolution (bounded count for the
+        # transformer head's cross-attention)
+        tok_map = nn.avg_pool(spatial, (8, 8), strides=(8, 8))
+        B, Ht, Wt, C = tok_map.shape
+        tokens = tok_map.reshape(B, Ht * Wt, C)
+        return BackboneFeatures(pooled=pooled, tokens=tokens, spatial=spatial)
+
+
 # ---------------------------------------------------------------------------
 # factory (reference BackboneFactory.SUPPORTED_BACKBONES)
 # ---------------------------------------------------------------------------
@@ -207,7 +293,9 @@ BACKBONES: dict = {
     "resnet152": lambda dtype=jnp.bfloat16: (ResNet([3, 8, 36, 3], dtype=dtype), 2048),
     "vit_base_patch16_224": lambda dtype=jnp.bfloat16: (ViT(12, 768, 12, dtype=dtype), 768),
     "vit_large_patch16_224": lambda dtype=jnp.bfloat16: (ViT(24, 1024, 16, dtype=dtype), 1024),
-    "unet_resnet34": lambda dtype=jnp.bfloat16: (UNet(out_dim=512, dtype=dtype), 1024),
+    # resnet34 encoder (weight-portable from torchvision) + skip decoder;
+    # pooled dim = 512 (the encoder bottleneck)
+    "unet_resnet34": lambda dtype=jnp.bfloat16: (UNetResNet(dtype=dtype), 512),
     "unet_small": lambda dtype=jnp.bfloat16: (UNet(widths=(32, 64, 128, 256), out_dim=256, dtype=dtype), 256),
     # micro variant for CI / SPMD-invariance tests: same architecture shape,
     # minimal channel counts so CPU XLA compiles in seconds

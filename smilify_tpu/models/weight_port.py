@@ -32,16 +32,27 @@ def _lin(w):  # (out, in) → (in, out)
     return np.transpose(w)
 
 
-def load_ported_resnet(npz_path: str, flax_params: Dict) -> Dict:
-    """Map torchvision ResNet-v1 names onto our ResNet module tree.
+def _resnet_block_layout(sd) -> tuple:
+    """(flax block prefix, convs per block) from the torch state-dict names:
+    Bottleneck (conv1..3, resnet50/101/152) vs BasicBlock (conv1..2,
+    resnet18/34 — the UNet encoder)."""
+    if "layer1.0.conv3.weight" in sd:
+        return "Bottleneck", 3
+    return "BasicBlock", 2
 
-    Our module tree: Conv_0/BatchNorm_0 stem; Bottleneck_{i} blocks in stage
-    order with Conv_0..2 (+ Conv_3/BatchNorm_3 for downsample).
+
+def load_ported_resnet(npz_path: str, flax_params: Dict) -> Dict:
+    """Map torchvision ResNet-v1 names onto our ResNet/ResNet34Encoder tree.
+
+    Our module tree: Conv_0/BatchNorm_0 stem; Bottleneck_{i} (Conv_0..2 +
+    Conv_3/BatchNorm_3 downsample) or BasicBlock_{i} (Conv_0..1 +
+    Conv_2/BatchNorm_2 downsample) blocks in stage order.
     """
     import jax
 
     sd = dict(np.load(npz_path))
     params = jax.tree_util.tree_map(lambda x: x, flax_params)  # copy
+    block_name, n_convs = _resnet_block_layout(sd)
 
     # stem
     params["Conv_0"]["kernel"] = _conv(sd["conv1.weight"])
@@ -56,15 +67,15 @@ def load_ported_resnet(npz_path: str, flax_params: Dict) -> Dict:
         b = 0
         while f"layer{L}.{b}.conv1.weight" in sd:
             prefix = f"layer{L}.{b}"
-            blk = params[f"Bottleneck_{block_idx}"]
-            for k in range(1, 4):
+            blk = params[f"{block_name}_{block_idx}"]
+            for k in range(1, n_convs + 1):
                 blk[f"Conv_{k-1}"]["kernel"] = _conv(sd[f"{prefix}.conv{k}.weight"])
                 blk[f"BatchNorm_{k-1}"]["scale"] = sd[f"{prefix}.bn{k}.weight"]
                 blk[f"BatchNorm_{k-1}"]["bias"] = sd[f"{prefix}.bn{k}.bias"]
             if f"{prefix}.downsample.0.weight" in sd:
-                blk["Conv_3"]["kernel"] = _conv(sd[f"{prefix}.downsample.0.weight"])
-                blk["BatchNorm_3"]["scale"] = sd[f"{prefix}.downsample.1.weight"]
-                blk["BatchNorm_3"]["bias"] = sd[f"{prefix}.downsample.1.bias"]
+                blk[f"Conv_{n_convs}"]["kernel"] = _conv(sd[f"{prefix}.downsample.0.weight"])
+                blk[f"BatchNorm_{n_convs}"]["scale"] = sd[f"{prefix}.downsample.1.weight"]
+                blk[f"BatchNorm_{n_convs}"]["bias"] = sd[f"{prefix}.downsample.1.bias"]
             block_idx += 1
             b += 1
         L += 1
@@ -76,6 +87,7 @@ def port_resnet_batch_stats(npz_path: str, flax_batch_stats: Dict) -> Dict:
 
     sd = dict(np.load(npz_path))
     stats = jax.tree_util.tree_map(lambda x: x, flax_batch_stats)
+    block_name, n_convs = _resnet_block_layout(sd)
     stats["BatchNorm_0"]["mean"] = sd["bn1.running_mean"]
     stats["BatchNorm_0"]["var"] = sd["bn1.running_var"]
     block_idx = 0
@@ -84,17 +96,31 @@ def port_resnet_batch_stats(npz_path: str, flax_batch_stats: Dict) -> Dict:
         b = 0
         while f"layer{L}.{b}.bn1.running_mean" in sd:
             prefix = f"layer{L}.{b}"
-            blk = stats[f"Bottleneck_{block_idx}"]
-            for k in range(1, 4):
+            blk = stats[f"{block_name}_{block_idx}"]
+            for k in range(1, n_convs + 1):
                 blk[f"BatchNorm_{k-1}"]["mean"] = sd[f"{prefix}.bn{k}.running_mean"]
                 blk[f"BatchNorm_{k-1}"]["var"] = sd[f"{prefix}.bn{k}.running_var"]
             if f"{prefix}.downsample.1.running_mean" in sd:
-                blk["BatchNorm_3"]["mean"] = sd[f"{prefix}.downsample.1.running_mean"]
-                blk["BatchNorm_3"]["var"] = sd[f"{prefix}.downsample.1.running_var"]
+                blk[f"BatchNorm_{n_convs}"]["mean"] = sd[f"{prefix}.downsample.1.running_mean"]
+                blk[f"BatchNorm_{n_convs}"]["var"] = sd[f"{prefix}.downsample.1.running_var"]
             block_idx += 1
             b += 1
         L += 1
     return stats
+
+
+def load_ported_unet_encoder(npz_path: str, flax_params: Dict,
+                             flax_batch_stats: Dict) -> tuple:
+    """Port a torchvision resnet34 dump into the ``encoder`` subtree of a
+    :class:`~smilify_tpu.models.backbones.UNetResNet` variable tree; the skip
+    decoder stays at its fresh init (the reference's timm-encoder UNets are
+    exactly this: pretrained encoder + random decoder,
+    ``backbone_factory.py:319-514``). Returns (params, batch_stats)."""
+    params = dict(flax_params)
+    params["encoder"] = load_ported_resnet(npz_path, flax_params["encoder"])
+    stats = dict(flax_batch_stats)
+    stats["encoder"] = port_resnet_batch_stats(npz_path, flax_batch_stats["encoder"])
+    return params, stats
 
 
 def load_ported_vit(npz_path: str, flax_params: Dict) -> Dict:
@@ -161,11 +187,16 @@ def load_pretrained_into_variables(npz_path: str, backbone_name: str,
     elif backbone_name.startswith("vit"):
         params = dict(params)
         params[key] = load_ported_vit(npz_path, params[key])
+    elif backbone_name == "unet_resnet34":
+        params, batch_stats = dict(params), dict(batch_stats)
+        params[key], batch_stats[key] = load_ported_unet_encoder(
+            npz_path, params[key], batch_stats[key]
+        )
     else:
         raise ValueError(
             f"no torch weight source exists for backbone '{backbone_name}' — "
-            "UNet variants train from scratch (reference builds them from "
-            "timm encoders; dump those and extend the port if needed)"
+            "the hand-rolled UNet variants (unet_small/unet_micro) train from "
+            "scratch; unet_resnet34 takes a torchvision resnet34 dump"
         )
     return params, batch_stats
 

@@ -85,6 +85,141 @@ def test_frozen_random_backbone_refused():
 
 
 @pytest.mark.slow
+def test_resnet152_port_parity(fixture_dir):
+    """The deepest reference ResNet goes through the same generic converter —
+    proven, not assumed (reference backbone_factory.py:500-514)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smilify_tpu.models.backbones import ResNet
+    from smilify_tpu.models.weight_port import load_ported_resnet, port_resnet_batch_stats
+
+    npz = fixture_dir / "resnet152.npz"
+    _gen("resnet152", npz)
+    fx = dict(np.load(npz))
+
+    x = jnp.asarray(fx["__input__"].transpose(0, 2, 3, 1))
+    model = ResNet([3, 8, 36, 3], dtype=jnp.float32)
+    variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
+    params = load_ported_resnet(str(npz), variables["params"])
+    stats = port_resnet_batch_stats(str(npz), variables["batch_stats"])
+
+    want = fx["__pooled__"]
+    scale = max(1e-3, float(np.abs(want).max()))
+    with jax.default_matmul_precision("highest"):
+        feats = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    np.testing.assert_allclose(np.asarray(feats.pooled), want,
+                               atol=1e-4 * scale + 1e-5, rtol=1e-4)
+    feats_fast = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    np.testing.assert_allclose(np.asarray(feats_fast.pooled), want,
+                               atol=3e-2 * scale, rtol=3e-2)
+
+
+def test_unet_resnet34_encoder_port_parity(fixture_dir):
+    """The unet_resnet34 encoder ports from a torchvision resnet34 dump and
+    reproduces every skip-stage feature map — the reference's pretrained
+    timm-encoder UNet flow (backbone_factory.py:319-514). The decoder stays
+    fresh, so parity is asserted per stage, not on the full UNet forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from smilify_tpu.models.backbones import ResNet34Encoder, normalize_imagenet
+    from smilify_tpu.models.weight_port import load_ported_resnet, port_resnet_batch_stats
+
+    npz = fixture_dir / "resnet34_encoder.npz"
+    _gen("resnet34_encoder", npz)
+    fx = dict(np.load(npz))
+
+    x = normalize_imagenet(jnp.asarray(fx["__input__"].transpose(0, 2, 3, 1)))
+    model = ResNet34Encoder(dtype=jnp.float32)
+    variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
+    params = load_ported_resnet(str(npz), variables["params"])
+    stats = port_resnet_batch_stats(str(npz), variables["batch_stats"])
+
+    with jax.default_matmul_precision("highest"):
+        stages = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+    assert len(stages) == 5
+    for i, got in enumerate(stages):
+        want = fx[f"__stage{i}__"]
+        scale = max(1e-3, float(np.abs(want).max()))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   atol=1e-4 * scale + 1e-5, rtol=1e-4,
+                                   err_msg=f"stage {i}")
+
+
+def test_unet_resnet34_pretrained_npz_route(fixture_dir):
+    """model.pretrained_npz works for a UNet variant end-to-end: the policy
+    routes a resnet34 dump into the UNetResNet encoder subtree, the decoder
+    keeps its init, and the ported model still runs."""
+    import jax.numpy as jnp
+
+    from smilify_tpu.models.backbones import UNetResNet
+    from smilify_tpu.models.weight_port import load_pretrained_into_variables
+
+    npz = fixture_dir / "resnet34_encoder.npz"
+    if not npz.exists():
+        _gen("resnet34_encoder", npz)
+    fx = dict(np.load(npz))
+
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    model = UNetResNet(dtype=jnp.float32)
+    variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
+    params = {"UNetResNet_0": variables["params"]}
+    stats = {"UNetResNet_0": variables["batch_stats"]}
+
+    params, stats = load_pretrained_into_variables(
+        str(npz), "unet_resnet34", params, stats)
+    # encoder stem really is the torch conv1 weight
+    got = np.asarray(params["UNetResNet_0"]["encoder"]["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(got, fx["conv1.weight"].transpose(2, 3, 1, 0))
+    # ported variables still drive the full UNet forward
+    feats = model.apply(
+        {"params": params["UNetResNet_0"], "batch_stats": stats["UNetResNet_0"]},
+        x, train=False)
+    assert np.isfinite(np.asarray(feats.pooled)).all()
+    assert feats.pooled.shape == (1, 512)
+
+
+@pytest.mark.slow
+def test_vit_large_port_parity(fixture_dir):
+    """The reference's FLAGSHIP benchmark backbone
+    (GETTING_STARTED.md:40-95: ViT-Large multi-view) ports with forward
+    parity — closing the round-3 gap where only vit_base had fixtures."""
+    import jax
+    import jax.numpy as jnp
+
+    from smilify_tpu.models.backbones import ViT
+    from smilify_tpu.models.weight_port import load_ported_vit
+
+    npz = fixture_dir / "vit_large.npz"
+    _gen("vit_large", npz)
+    fx = dict(np.load(npz))
+
+    x = jnp.asarray(fx["__input__"].transpose(0, 2, 3, 1))
+    model = ViT(24, 1024, 16, dtype=jnp.float32)
+    variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
+    params = load_ported_vit(str(npz), variables["params"])
+
+    with jax.default_matmul_precision("highest"):
+        feats = model.apply({"params": params}, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(feats.pooled), fx["__pooled__"], atol=1e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats.tokens), fx["__tokens__"], atol=1e-4, rtol=1e-3
+    )
+    feats_fast = model.apply({"params": params}, x, train=False)
+    tok_scale = max(1e-3, float(np.abs(fx["__tokens__"]).max()))
+    np.testing.assert_allclose(
+        np.asarray(feats_fast.pooled), fx["__pooled__"], atol=3e-2, rtol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats_fast.tokens), fx["__tokens__"],
+        atol=3e-2 * tok_scale, rtol=3e-2
+    )
+
+
+@pytest.mark.slow
 def test_vit_base_port_parity(fixture_dir):
     import jax.numpy as jnp
 

@@ -16,7 +16,14 @@ forward parity ≤ 1e-4 — which validates the port for real pretrained dumps
 made with ``python -m smilify_tpu.models.weight_port dump`` on a connected
 machine.
 
-Usage:  python tools/gen_backbone_fixtures.py {resnet50|vit_base} out.npz
+Round 4 extends coverage to the reference's *flagship* benchmark backbone
+(vit_large_patch16_224, ``GETTING_STARTED.md:40-95``), resnet152, and the
+resnet34 UNet encoder (the reference's timm-encoder UNets,
+``backbone_factory.py:319-514`` — the encoder fixture dumps per-stage feature
+maps so the ported skip pyramid is checked stage by stage).
+
+Usage:  python tools/gen_backbone_fixtures.py
+            {resnet50|resnet152|vit_base|vit_large|resnet34_encoder} out.npz
 """
 
 import math
@@ -59,30 +66,64 @@ class Bottleneck(nn.Module):
         return self.relu(out + identity)
 
 
-class ResNet50(nn.Module):
-    def __init__(self):
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34)."""
+
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
         super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet50(nn.Module):
+    def __init__(self, stage_sizes=(3, 4, 6, 3), block=Bottleneck):
+        super().__init__()
+        self.block = block
         self.inplanes = 64
         self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
         self.relu = nn.ReLU(inplace=True)
         self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
-        self.layer1 = self._make_layer(64, 3, 1)
-        self.layer2 = self._make_layer(128, 4, 2)
-        self.layer3 = self._make_layer(256, 6, 2)
-        self.layer4 = self._make_layer(512, 3, 2)
+        self.layer1 = self._make_layer(64, stage_sizes[0], 1)
+        self.layer2 = self._make_layer(128, stage_sizes[1], 2)
+        self.layer3 = self._make_layer(256, stage_sizes[2], 2)
+        self.layer4 = self._make_layer(512, stage_sizes[3], 2)
 
     def _make_layer(self, planes, blocks, stride):
+        exp = self.block.expansion
         downsample = None
-        if stride != 1 or self.inplanes != planes * 4:
+        if stride != 1 or self.inplanes != planes * exp:
             downsample = nn.Sequential(
-                nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
-                nn.BatchNorm2d(planes * 4),
+                nn.Conv2d(self.inplanes, planes * exp, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * exp),
             )
-        layers = [Bottleneck(self.inplanes, planes, stride, downsample)]
-        self.inplanes = planes * 4
-        layers += [Bottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+        layers = [self.block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * exp
+        layers += [self.block(self.inplanes, planes) for _ in range(1, blocks)]
         return nn.Sequential(*layers)
+
+    def forward_stages(self, x):
+        """The five UNet skip stages (resnet34 encoder contract)."""
+        s0 = self.relu(self.bn1(self.conv1(x)))
+        s1 = self.layer1(self.maxpool(s0))
+        s2 = self.layer2(s1)
+        s3 = self.layer3(s2)
+        s4 = self.layer4(s3)
+        return s0, s1, s2, s3, s4
 
     def init_like_torchvision(self):
         # kaiming fan-out init (torchvision resnet __init__) keeps activation
@@ -172,8 +213,13 @@ def main():
     std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
     xn = (x - mean) / std
 
-    if arch == "resnet50":
-        model = ResNet50()
+    resnets = {"resnet50": ((3, 4, 6, 3), Bottleneck),
+               "resnet152": ((3, 8, 36, 3), Bottleneck)}
+    vits = {"vit_base": dict(depth=12, dim=768, heads=12),
+            "vit_large": dict(depth=24, dim=1024, heads=16)}
+    if arch in resnets:
+        sizes, block = resnets[arch]
+        model = ResNet50(sizes, block)
         model.init_like_torchvision()
         model = model.eval()
         # non-default running stats so the port of batch_stats is actually tested
@@ -185,8 +231,23 @@ def main():
         with torch.no_grad():
             pooled = model(xn)
         extra = {"__pooled__": pooled.numpy()}
-    elif arch == "vit_base":
-        model = ViTB16().eval()
+    elif arch == "resnet34_encoder":
+        model = ResNet50((3, 4, 6, 3), BasicBlock)
+        model.init_like_torchvision()
+        model = model.eval()
+        with torch.no_grad():
+            for m in model.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.normal_(0.0, 0.05)
+                    m.running_var.uniform_(0.8, 1.2)
+        with torch.no_grad():
+            stages = model.forward_stages(xn)
+        # NCHW → NHWC per-stage maps: the ported skip pyramid is checked
+        # stage by stage (a full-UNet forward can't be — the decoder is fresh)
+        extra = {f"__stage{i}__": s.numpy().transpose(0, 2, 3, 1)
+                 for i, s in enumerate(stages)}
+    elif arch in vits:
+        model = ViTB16(**vits[arch]).eval()
         with torch.no_grad():
             pooled, tokens = model(xn)
         extra = {"__pooled__": pooled.numpy(), "__tokens__": tokens.numpy()}
