@@ -1,6 +1,10 @@
 """Model-authoring tests: PCA shape spaces, entangled PCA, J_regressor,
 pkl export/import round-trip through the real loader, beta calculator."""
 
+from tests._cpu_pin import cpu_pinned
+
+pytestmark = cpu_pinned()  # tiny-numerics/pkl IO: 489s over the tunnel vs seconds on CPU
+
 import numpy as np
 import pytest
 
@@ -65,7 +69,6 @@ def test_j_regressor_from_weights():
     assert (reg > 0).sum(axis=1).max() <= 8
 
 
-@pytest.mark.smoke
 def test_export_import_roundtrip(tmp_path):
     """An authored pkl must load through the real ModelSpec loader."""
     from smilify_tpu.core.spec import load_model_spec

@@ -25,3 +25,8 @@ def test_cameras_cpu():
 def test_ops_cpu():
     out = run_pinned_file("test_ops.py")
     assert "passed" in out
+
+
+def test_authoring_cpu():
+    out = run_pinned_file("test_authoring.py")
+    assert "passed" in out

@@ -10,7 +10,6 @@ import pytest
 from tests.conftest import STICK_PKL
 
 
-@pytest.mark.smoke
 def test_register_to_scaled_self(stick_spec, tmp_path):
     """Fitting the template to a translated copy of itself must drive chamfer down."""
     from smilify_tpu.fitter.fitter3d import (

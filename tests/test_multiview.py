@@ -43,7 +43,6 @@ def _mv_gt_predictions(spec, n=2, v=3, seed=0):
     return preds
 
 
-@pytest.mark.smoke
 def test_multiview_gt_losses_zero(stick_spec):
     spec = stick_spec
     cfg = MultiViewConfig(n_pose=spec.n_joints - 1, n_betas=spec.n_betas, n_joints=spec.n_joints, max_views=3)

@@ -289,3 +289,33 @@ def test_worklist_cap_iou_delta(stick_spec):
     a_cap = soft_silhouette(verts_ndc, spec.faces, (size, size), znear=1e-3,
                             use_pallas=True, interpret=not on_tpu, approx_max_faces=cap)
     assert silhouette_iou(a_cap, a_exact) > bound
+
+
+def test_auto_cap_policy():
+    """The CLI-default cap: IoU-gated resolution scaling on TPU, exact (None)
+    off-TPU and for tiny images; --exact and integer overrides win."""
+    import argparse
+
+    import jax
+
+    from smilify_tpu.cli.optimize_to_joints import resolve_approx_max_faces
+    from smilify_tpu.render.rasterizer import auto_approx_max_faces
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        assert auto_approx_max_faces((512, 512)) == 800
+        assert auto_approx_max_faces((256, 256)) == 1600
+        assert auto_approx_max_faces((128, 128)) == 3200
+        assert auto_approx_max_faces((64, 64)) is None
+    else:
+        assert auto_approx_max_faces((512, 512)) is None
+
+    ns = argparse.Namespace(exact=False, approx_max_faces="auto")
+    assert resolve_approx_max_faces(ns, (512, 512), auto_approx_max_faces) == \
+        (800 if on_tpu else None)
+    ns = argparse.Namespace(exact=True, approx_max_faces="auto")
+    assert resolve_approx_max_faces(ns, (512, 512), auto_approx_max_faces) is None
+    ns = argparse.Namespace(exact=False, approx_max_faces="700")
+    assert resolve_approx_max_faces(ns, (512, 512), auto_approx_max_faces) == 700
+    ns = argparse.Namespace(exact=False, approx_max_faces="exact")
+    assert resolve_approx_max_faces(ns, (512, 512), auto_approx_max_faces) is None

@@ -185,3 +185,29 @@ def test_visibility_weighted_joint_rotation_loss(stick_spec):
                                     {"joint_rot": jr, "kp_visibility": vis_all},
                                     w, image_size=(64, 64))
     assert float(perfect["joint_rot"]) < 1e-5
+
+
+def test_groupnorm_resnet_variant():
+    """resnet50_gn: same topology/param shapes as resnet50 but GroupNorm(32) —
+    no batch_stats collection at all, so training needs no statistics passes
+    and gradient accumulation is exactly equivalent (the recommended TPU
+    training backbone, docs/PERFORMANCE.md §Training MFU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from smilify_tpu.models.backbones import create_backbone
+
+    model, dim = create_backbone("resnet50_gn", dtype=jnp.float32)
+    assert dim == 2048
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=True)
+    assert "batch_stats" not in variables
+    feats, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert not mutated  # nothing to mutate: no running statistics
+    assert feats.pooled.shape == (1, 2048)
+
+    bn_model, _ = create_backbone("resnet50", dtype=jnp.float32)
+    bn_vars = bn_model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=True)
+    n_gn = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    n_bn = sum(x.size for x in jax.tree.leaves(bn_vars["params"]))
+    assert n_gn == n_bn  # scale+bias per channel either way

@@ -81,7 +81,6 @@ def _inputs(mode, batch, n_views=2, seed=0):
 
 
 @pytest.mark.parametrize("mode", ["single_view", "multi_view"])
-@pytest.mark.smoke
 def test_export_roundtrip_matches_live(tmp_path, mode):
     from smilify_tpu.cli.run_inference import load_model_from_checkpoint
     from smilify_tpu.serve import (
