@@ -83,8 +83,12 @@ def main(argv=None):
                     help="optimize per-joint limb scales (--no-limb-scaling freezes them)")
     ap.add_argument("--unity-prior", default=None, metavar="NPZ")
     ap.add_argument("--walking-prior", default=None, metavar="PKL")
-    ap.add_argument("--approx-max-faces", type=int, default=None,
-                    help="work-list raster per-tile z-nearest face cap")
+    ap.add_argument("--approx-max-faces", default="auto",
+                    help="work-list raster per-tile z-nearest face cap: "
+                         "'auto' (default) = IoU-gated resolution-scaled cap "
+                         "on TPU, exact off-TPU; integer pins; --exact opts out")
+    ap.add_argument("--exact", action="store_true",
+                    help="exact all-faces SoftRas (disable the auto work-list cap)")
     ap.add_argument("--iter-chunk", type=int, default=10,
                     help="optimization iterations per device dispatch "
                          "(lax.scan chain; 1 = dispatch every iteration)")
@@ -200,9 +204,13 @@ def main(argv=None):
 
         fitter_cls = ShardedBatchedFitter
         print(f"sharding {S} clips ({n_real} real) over {len(jax.devices())} devices")
+    from smilify_tpu.cli.optimize_to_joints import resolve_approx_max_faces
+    from smilify_tpu.render.rasterizer import auto_approx_max_faces
+
+    approx = resolve_approx_max_faces(args, (H, W), auto_approx_max_faces)
     fitter = fitter_cls(spec, data, (H, W), allow_limb_scaling=args.limb_scaling,
                         pose_prior=pose_prior, shape_prior=shape_prior,
-                        approx_max_faces=args.approx_max_faces, **fit_kwargs)
+                        approx_max_faces=approx, **fit_kwargs)
 
     # one exporter over the flattened corpus (padding clips excluded):
     # out_dir/<clip>/<frame>/st_ep.* (single-frame clips skip the clip level —

@@ -22,6 +22,25 @@ import time
 import numpy as np
 
 
+def resolve_approx_max_faces(args, image_size, auto_fn):
+    """CLI cap semantics shared by the fitter CLIs: --exact wins; 'auto' →
+    the IoU-gated resolution-scaled default (None off-TPU); integer pins."""
+    if args.exact:
+        return None
+    v = args.approx_max_faces
+    if isinstance(v, str):
+        if v.lower() in ("auto", ""):
+            cap = auto_fn(image_size)
+            if cap is not None:
+                print(f"work-list raster cap (auto): {cap} faces/tile "
+                      f"(--exact opts out)")
+            return cap
+        if v.lower() in ("exact", "none"):
+            return None
+        v = int(v)
+    return v
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="SMIL optimization fitter")
     ap.add_argument("--model", required=True, help="model .pkl file")
@@ -55,10 +74,15 @@ def main(argv=None):
                          "aid (wider silhouette basin at coarse scales), not a "
                          "speed win: the fused step is not raster-dominated "
                          "(see fitter/progressive.py)")
-    ap.add_argument("--approx-max-faces", type=int, default=None,
+    ap.add_argument("--approx-max-faces", default="auto",
                     help="work-list raster: per-tile z-nearest face cap "
-                         "(reference faces_per_pixel=100 approximation); "
-                         "default exact all-faces SoftRas")
+                         "(reference faces_per_pixel=100 approximation). "
+                         "'auto' (default) = the IoU-gated resolution-scaled "
+                         "cap on TPU (+24%% window-10 throughput at 512², "
+                         "IoU 0.992 vs exact), exact raster off-TPU; an "
+                         "integer pins the cap; --exact opts out")
+    ap.add_argument("--exact", action="store_true",
+                    help="exact all-faces SoftRas (disable the auto work-list cap)")
     ap.add_argument("--iter-chunk", type=int, default=10,
                     help="optimization iterations per device dispatch "
                          "(lax.scan chain; amortizes dispatch latency — "
@@ -155,9 +179,12 @@ def main(argv=None):
         fitter_cls = ProgressiveFitter
         fitter_extra["scales"] = [int(s) for s in args.progressive.split(",")]
         print(f"progressive pyramid scales {fitter_extra['scales']}")
+    from smilify_tpu.render.rasterizer import auto_approx_max_faces
+
+    approx = resolve_approx_max_faces(args, (H, W), auto_approx_max_faces)
     fitter = fitter_cls(spec, data, (H, W), allow_limb_scaling=args.limb_scaling,
                         pose_prior=pose_prior, shape_prior=shape_prior,
-                        approx_max_faces=args.approx_max_faces, **fitter_extra)
+                        approx_max_faces=approx, **fitter_extra)
 
     if args.load_checkpoint:
         from smilify_tpu.fitter.fitter import FitParams

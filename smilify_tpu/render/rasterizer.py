@@ -430,6 +430,29 @@ def _raster_S_bwd(image_size, sigma, interpret, res, gS):
 _raster_S.defvjp(_raster_S_fwd, _raster_S_bwd)
 
 
+def auto_approx_max_faces(image_size) -> int | None:
+    """The measured default work-list cap for fitting CLIs (None = exact).
+
+    IoU-gated against the exact all-faces raster on the real model
+    (tests/test_rasterizer.py::test_worklist_cap_iou_delta): cap 800 at 512²
+    → IoU 0.992, resolution-scaled cap at 128² → IoU 0.999. The cap scales
+    with 1/resolution because a 32×32 tile covers a larger image fraction at
+    low res (measured max subgroups/tile: 321 at 128² vs 156 at 512²). The
+    reference itself truncates far harder — 100 z-nearest faces per *pixel*
+    (p3d_renderer.py:47) — so the capped mode is still reference-faithful.
+
+    Off-TPU returns None: the work-list kernel would run in interpret mode
+    there, which is far slower than the exact oracle — the cap is a TPU
+    performance lever, not a semantics switch.
+    """
+    if jax.default_backend() != "tpu":
+        return None
+    size = max(tuple(image_size))
+    if size < 128:
+        return None  # tiny images: per-tile counts ≈ F, a cap buys nothing
+    return max(800, int(800 * 512 / size))
+
+
 def soft_silhouette(
     verts_ndc: jnp.ndarray,
     faces: jnp.ndarray,
