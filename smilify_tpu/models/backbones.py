@@ -45,14 +45,25 @@ def normalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _make_norm(kind: str, dtype, train: bool):
+    """'batch' → BatchNorm; 'group' → GroupNorm(32) — identical parameter
+    count/shapes (scale+bias per channel) but NO batch-statistics passes, the
+    measured source of the ResNet-BN training-MFU ceiling (docs/PERFORMANCE.md
+    §Training MFU; tools/prof_step_extra.py attribution)."""
+    if kind == "group":
+        return lambda: nn.GroupNorm(num_groups=32, dtype=dtype)
+    return lambda: nn.BatchNorm(use_running_average=not train, dtype=dtype)
+
+
 class Bottleneck(nn.Module):
     features: int
     strides: int = 1
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(use_running_average=not train, dtype=self.dtype)  # noqa: E731
+        norm = _make_norm(self.norm, self.dtype, train)
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = norm()(y)
@@ -71,22 +82,29 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """ResNet-v1 bottleneck backbone (50/101/152 via stage_sizes)."""
+    """ResNet-v1 bottleneck backbone (50/101/152 via stage_sizes).
+
+    ``norm='group'`` swaps every BatchNorm for GroupNorm(32): same parameter
+    shapes, no running statistics, no per-microbatch normalization coupling
+    under gradient accumulation — the recommended *training* backbone on TPU
+    (the BN statistics passes are the measured train-MFU ceiling)."""
 
     stage_sizes: Sequence[int]
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> BackboneFeatures:
         x = normalize_imagenet(x).astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = _make_norm(self.norm, self.dtype, train)()(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, n_blocks in enumerate(self.stage_sizes):
             for b in range(n_blocks):
                 strides = 2 if (b == 0 and i > 0) else 1
-                x = Bottleneck(64 * 2**i, strides=strides, dtype=self.dtype)(x, train=train)
+                x = Bottleneck(64 * 2**i, strides=strides, dtype=self.dtype,
+                               norm=self.norm)(x, train=train)
         spatial = x.astype(jnp.float32)  # (B, H/32, W/32, 2048)
         pooled = jnp.mean(spatial, axis=(1, 2))
         B, Hs, Ws, C = spatial.shape
@@ -289,6 +307,11 @@ class UNetResNet(nn.Module):
 
 BACKBONES: dict = {
     "resnet50": lambda dtype=jnp.bfloat16: (ResNet([3, 4, 6, 3], dtype=dtype), 2048),
+    # GroupNorm(32) variant: the recommended TRAINING backbone on TPU — no
+    # batch-statistics passes (the measured BN train-MFU ceiling), exact
+    # gradient-accumulation equivalence. Not weight-portable from torchvision
+    # BN checkpoints (different normalization statistics semantics).
+    "resnet50_gn": lambda dtype=jnp.bfloat16: (ResNet([3, 4, 6, 3], dtype=dtype, norm="group"), 2048),
     "resnet101": lambda dtype=jnp.bfloat16: (ResNet([3, 4, 23, 3], dtype=dtype), 2048),
     "resnet152": lambda dtype=jnp.bfloat16: (ResNet([3, 8, 36, 3], dtype=dtype), 2048),
     "vit_base_patch16_224": lambda dtype=jnp.bfloat16: (ViT(12, 768, 12, dtype=dtype), 768),

@@ -340,11 +340,13 @@ def bench_singleview_inference(spec):
     return out
 
 
-def bench_singleview_train_step(spec):
+def bench_singleview_train_step(spec, backbone="resnet50"):
     """Full supervised training step (forward + backward + Adam) for the
     single-view regressor — the reference's train_smil_regressor hot loop
     (param MSEs + visibility-weighted 2D keypoint loss, its replicAnt
-    synthetic-data recipe)."""
+    synthetic-data recipe). ``backbone='resnet50_gn'`` measures the GroupNorm
+    training variant (no batch-statistics passes — the round-3 MFU-ceiling
+    attribution, docs/PERFORMANCE.md)."""
     import optax
 
     from smilify_tpu.models.regressor import (
@@ -352,7 +354,7 @@ def bench_singleview_train_step(spec):
     )
     from smilify_tpu.train.trainer import make_train_step
 
-    cfg = RegressorConfig(backbone="resnet50", n_pose=spec.n_joints - 1,
+    cfg = RegressorConfig(backbone=backbone, n_pose=spec.n_joints - 1,
                           n_betas=spec.n_betas, n_joints=spec.n_joints,
                           decoder_dim=256, decoder_depth=4, ief_iters=3)
     model = SMILRegressor(cfg)
@@ -383,7 +385,7 @@ def bench_singleview_train_step(spec):
 
     step = make_train_step(apply_fn, loss_fn, tx)
 
-    out = {"backbone": "resnet50", "resolution": 224,
+    out = {"backbone": backbone, "resolution": 224,
            "losses": "param MSEs + visibility-weighted kp2d"}
     rng = np.random.RandomState(0)
     for B in (32, 128):
@@ -596,6 +598,10 @@ def main():
     if wanted("config4b_singleview_train_step"):
         print("4b/5 single-view train step ...", flush=True)
         report["config4b_singleview_train_step"] = bench_singleview_train_step(stick)
+    if wanted("config4c_singleview_train_step_gn"):
+        print("== config4c: single-view GroupNorm train step ==", flush=True)
+        report["config4c_singleview_train_step_gn"] = bench_singleview_train_step(
+            stick, backbone="resnet50_gn")
     if wanted("config5a_multiview_4cam_stick"):
         print("5a/5 multi-view 4-cam stick ...", flush=True)
         report["config5a_multiview_4cam_stick"] = bench_multiview_inference(stick, 4, 224, "stick4")
