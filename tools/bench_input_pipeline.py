@@ -78,6 +78,24 @@ def run_phase(args):
             prep(["--input", TEX, "--output", h5, "--model", STICK,
                   "--resolution", str(args.res)])
         ds = SingleViewHDF5Dataset(h5)
+    if len(ds) < 2 * args.batch:
+        # the bundled dataset has 20 frames; at the production batch (128)
+        # wrap it so every step is a FULL batch — otherwise iterate_batches
+        # would yield 20-sample partials and mislabel them as batch-128 steps
+        class _Repeat:
+            def __init__(self, inner, times):
+                self.inner, self.times = inner, times
+
+            def __len__(self):
+                return len(self.inner) * self.times
+
+            def __getitem__(self, i):
+                return self.inner[i % len(self.inner)]
+
+            def set_epoch(self, e):
+                getattr(self.inner, "set_epoch", lambda _: None)(e)
+
+        ds = _Repeat(ds, -(-2 * args.batch // len(ds)))
     cfg = RegressorConfig(backbone="resnet50", n_pose=spec.n_joints - 1,
                           n_betas=spec.n_betas, n_joints=spec.n_joints,
                           decoder_depth=2, ief_iters=2)
