@@ -59,7 +59,11 @@ def main(argv=None):
         from smilify_tpu.models.regressor import decode_predictions
 
         preds = decode_predictions(rcfg, raw, spec)
-        verts, joints3d = forward_model(spec, preds)
+        # honor the training-time world convention: dropping use_ue_scaling
+        # here silently evaluated replicAnt-convention models in model units
+        # (round-4 bug — the GT floor itself misses by 10x without it)
+        verts, joints3d = forward_model(spec, preds,
+                                        use_ue_scaling=rcfg.use_ue_scaling)
         kp2d = project_to_camera(preds, joints3d, (res, res))
         return kp2d, joints3d
 
@@ -73,7 +77,8 @@ def main(argv=None):
         )
 
         preds = decode_multiview_predictions(rcfg, raw, spec)
-        verts, joints3d = forward_model(spec, preds)
+        verts, joints3d = forward_model(spec, preds,
+                                        use_ue_scaling=rcfg.use_ue_scaling)
         kp2d = project_through_view_cameras(preds, joints3d, (res, res))
         return kp2d, joints3d
 

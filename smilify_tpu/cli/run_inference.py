@@ -256,7 +256,8 @@ def main(argv=None):
         import imageio.v2 as imageio
 
         preds_j = {k: jnp.asarray(v) for k, v in traj.items()}
-        verts, joints3d = forward_model(spec, preds_j)
+        verts, joints3d = forward_model(spec, preds_j,
+                                        use_ue_scaling=rcfg.use_ue_scaling)
 
         # All views (mv) / a chunk of frames (sv) render in ONE jitted call
         # that converts to uint8 ON DEVICE: the tunneled transport moves

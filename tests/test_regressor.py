@@ -211,3 +211,38 @@ def test_groupnorm_resnet_variant():
     n_gn = sum(x.size for x in jax.tree.leaves(variables["params"]))
     n_bn = sum(x.size for x in jax.tree.leaves(bn_vars["params"]))
     assert n_gn == n_bn  # scale+bias per channel either way
+
+
+def test_ue_scaling_convention_and_config_routing(stick_spec):
+    """replicAnt-convention models: dataset.use_ue_scaling must reach the
+    regressor config, and forward_model must apply (mesh-root)*10+trans.
+    Round-4 regression: benchmark_model/run_inference dropped the flag and
+    silently evaluated UE-convention models in model units (10x off)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smilify_tpu.models.regressor import forward_model
+    from smilify_tpu.train.config import load_config
+
+    cfg = load_config(None, overrides={"dataset.use_ue_scaling": True},
+                      mode="single_view")
+    rcfg = cfg.regressor_config(stick_spec)
+    assert rcfg.use_ue_scaling is True
+
+    spec = stick_spec
+    preds = {
+        "global_rot": jnp.zeros((1, 3)),
+        "joint_rot": jnp.zeros((1, spec.n_joints - 1, 3)),
+        "betas": jnp.zeros((1, spec.n_betas)),
+        "trans": jnp.asarray([[0.5, -0.2, 3.0]]),
+        "fov": jnp.asarray([60.0]),
+    }
+    v0, j0 = forward_model(spec, preds, use_ue_scaling=False)
+    v1, j1 = forward_model(spec, preds, use_ue_scaling=True)
+    # UE convention: verts = (verts0 - trans - root)*10 + trans
+    root = j0[:, :1, :] - preds["trans"][:, None, :]
+    want = (v0 - preds["trans"][:, None, :] - root) * 10.0 + preds["trans"][:, None, :]
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(want), atol=1e-4)
+    ext0 = np.asarray(v0.max(axis=1) - v0.min(axis=1))
+    ext1 = np.asarray(v1.max(axis=1) - v1.min(axis=1))
+    np.testing.assert_allclose(ext1, ext0 * 10.0, rtol=1e-5)
