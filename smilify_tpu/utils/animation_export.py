@@ -84,6 +84,14 @@ class AnimationRecorder:
             "mocap_framerate": np.asarray(self.fps, np.float32),
             "gender": np.asarray("neutral"),
         }
+        # Per-frame betas (reference sidecar schema: the Blender importer reads
+        # `betas_per_frame` for per-frame shape keyframes when present,
+        # SMIL_processing_addon.py:3502). Clip-averaged `betas` above stays the
+        # AMASS-compatible static entry (frame 0 by convention).
+        if all(f["betas"] is not None for f in self.frames):
+            betas_pf = np.stack([f["betas"] for f in self.frames])
+            if not np.allclose(betas_pf, betas_pf[0]):
+                payload["betas_per_frame"] = betas_pf
         if self.frames[0]["log_beta_scales"] is not None:
             payload["log_beta_scales"] = np.stack([f["log_beta_scales"] for f in self.frames])
         if self.frames[0]["betas_trans"] is not None:
