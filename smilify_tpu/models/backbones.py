@@ -239,17 +239,21 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
-class ResNet34Encoder(nn.Module):
-    """torchvision resnet34 trunk exposing the five UNet skip stages.
+class ResNetEncoder(nn.Module):
+    """torchvision ResNet trunk exposing the five UNet skip stages.
 
-    Stage channels/strides (64,/2) (64,/4) (128,/8) (256,/16) (512,/32) —
-    exactly the feature pyramid the reference's timm-encoder UNets consume
+    ``block='basic'`` is the resnet34 layout — stage channels/strides
+    (64,/2) (64,/4) (128,/8) (256,/16) (512,/32); ``block='bottleneck'`` is
+    resnet50 — (64,/2) (256,/4) (512,/8) (1024,/16) (2048,/32). Both are
+    exactly the feature pyramids the reference's timm-encoder UNets consume
     (``neuralSMIL/backbone_factory.py:319-514``). Weights port from a
-    torchvision resnet34 state dict via
-    ``weight_port.load_ported_resnet`` (BasicBlock naming).
+    torchvision resnet34/resnet50 state dict via
+    ``weight_port.load_ported_resnet`` (BasicBlock/Bottleneck naming is
+    auto-detected from the dump).
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    block: str = "basic"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -262,18 +266,159 @@ class ResNet34Encoder(nn.Module):
         for i, n_blocks in enumerate(self.stage_sizes):
             for b in range(n_blocks):
                 strides = 2 if (b == 0 and i > 0) else 1
-                x = BasicBlock(64 * 2**i, strides=strides, dtype=self.dtype)(x, train=train)
+                if self.block == "bottleneck":
+                    x = Bottleneck(64 * 2**i, strides=strides, dtype=self.dtype)(x, train=train)
+                else:
+                    x = BasicBlock(64 * 2**i, strides=strides, dtype=self.dtype)(x, train=train)
             stages.append(x)                           # /4, /8, /16, /32
         return stages
 
 
+# historical name (round-4 tests/checkpoints predate the resnet50 variant);
+# the submodule is always explicitly name="encoder", so the alias changes no
+# parameter trees
+ResNet34Encoder = ResNetEncoder
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet-B0 encoder (timm `efficientnet_b0`, the reference's
+# unet_efficientnet_b0 — backbone_factory.py:337-345 creates it with
+# features_only=True and consumes the stride-2..32 feature pyramid)
+# ---------------------------------------------------------------------------
+
+# (block_type, num_blocks, kernel, first_stride, expand_ratio, out_channels);
+# mirrors timm's efficientnet_b0 arch_def. SE reduction is 0.25 of each
+# block's INPUT channels (timm v1 semantics for effnet).
+EFFICIENTNET_B0_STAGES = (
+    ("ds", 1, 3, 1, 1, 16),
+    ("ir", 2, 3, 2, 6, 24),
+    ("ir", 2, 5, 2, 6, 40),
+    ("ir", 3, 3, 2, 6, 80),
+    ("ir", 3, 5, 1, 6, 112),
+    ("ir", 4, 5, 2, 6, 192),
+    ("ir", 1, 3, 1, 6, 320),
+)
+# stages whose OUTPUT is a UNet skip feature (strides 2, 4, 8, 16, 32)
+_EFFNET_FEATURE_STAGES = (0, 1, 2, 4, 6)
+
+
+class _SqueezeExcite(nn.Module):
+    """timm SqueezeExcite: GAP → conv_reduce → SiLU → conv_expand → sigmoid gate."""
+
+    reduced: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, name="conv_reduce")(s)
+        s = nn.silu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="conv_expand")(s)
+        return x * nn.sigmoid(s)
+
+
+class _DSConv(nn.Module):
+    """timm DepthwiseSeparableConv (effnet stage 0): dw → SE → pw-linear."""
+
+    out_ch: int
+    kernel: int = 3
+    se_ch: int = 8
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = x.shape[-1]
+        y = nn.Conv(C, (self.kernel, self.kernel), padding=self.kernel // 2,
+                    feature_group_count=C, use_bias=False, dtype=self.dtype,
+                    name="conv_dw")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(y)
+        y = nn.silu(y)
+        y = _SqueezeExcite(self.se_ch, dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_pw")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(y)
+        if y.shape == x.shape:
+            y = y + x
+        return y
+
+
+class _MBConv(nn.Module):
+    """timm InvertedResidual: pw-expand → dw → SE → pw-linear (+residual)."""
+
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    expand: int = 6
+    se_ch: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = x.shape[-1]
+        mid = C * self.expand
+        y = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(y)
+        y = nn.silu(y)
+        y = nn.Conv(mid, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding=self.kernel // 2,
+                    feature_group_count=mid, use_bias=False, dtype=self.dtype,
+                    name="conv_dw")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn2")(y)
+        y = nn.silu(y)
+        y = _SqueezeExcite(self.se_ch, dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv_pwl")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn3")(y)
+        if self.stride == 1 and self.out_ch == C:
+            y = y + x
+        return y
+
+
+class EfficientNetEncoder(nn.Module):
+    """timm efficientnet_b0 trunk exposing the five UNet skip stages —
+    channels (16,/2) (24,/4) (40,/8) (112,/16) (320,/32), exactly the
+    ``features_only=True`` pyramid the reference's UNetBackbone consumes
+    (``backbone_factory.py:383-395``). Weights port from a timm
+    efficientnet_b0 state dict via ``weight_port.load_ported_efficientnet``
+    (submodule names mirror timm's conv_stem/bn1/blocks.{s}.{b} keys)."""
+
+    stages: tuple = EFFICIENTNET_B0_STAGES
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv_stem")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
+        x = nn.silu(x)
+        feats = []
+        for s, (kind, n_blocks, kernel, stride, expand, out_ch) in enumerate(self.stages):
+            for b in range(n_blocks):
+                se_ch = max(1, int(x.shape[-1] * 0.25))
+                name = f"blocks_{s}_{b}"
+                if kind == "ds":
+                    x = _DSConv(out_ch, kernel=kernel, se_ch=se_ch,
+                                dtype=self.dtype, name=name)(x, train=train)
+                else:
+                    x = _MBConv(out_ch, kernel=kernel,
+                                stride=stride if b == 0 else 1, expand=expand,
+                                se_ch=se_ch, dtype=self.dtype, name=name)(x, train=train)
+            if s in _EFFNET_FEATURE_STAGES:
+                feats.append(x)
+        return feats
+
+
 class UNetResNet(nn.Module):
-    """UNet with a (portable, pretrained) resnet34 encoder + skip decoder —
-    the reference's ``unet_resnet34`` (timm encoder + skip decoder,
+    """UNet with a (portable, pretrained) resnet34/resnet50/efficientnet_b0
+    encoder + skip decoder — the reference's ``unet_resnet34``/
+    ``unet_resnet50``/``unet_efficientnet_b0`` (timm encoder + skip decoder,
     ``backbone_factory.py:319-514``), here with the encoder weight-portable
-    from torchvision so ``model.pretrained_npz`` works for UNet variants too.
+    from torchvision/timm so ``model.pretrained_npz`` works for UNet variants
+    too. (The class name is historical — round-4 checkpoints predate the
+    non-resnet encoders.)
     """
 
+    encoder_arch: str = "resnet34"
     decoder_widths: Sequence[int] = (256, 128, 64, 32)
     out_dim: int = 512
     dtype: Any = jnp.bfloat16
@@ -281,7 +426,11 @@ class UNetResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> BackboneFeatures:
         x = normalize_imagenet(x).astype(self.dtype)
-        stages = ResNet34Encoder(dtype=self.dtype, name="encoder")(x, train=train)
+        if self.encoder_arch == "efficientnet_b0":
+            stages = EfficientNetEncoder(dtype=self.dtype, name="encoder")(x, train=train)
+        else:
+            block = "bottleneck" if self.encoder_arch == "resnet50" else "basic"
+            stages = ResNetEncoder(block=block, dtype=self.dtype, name="encoder")(x, train=train)
         bottleneck = stages[-1]                        # (B, H/32, W/32, 512)
         y = bottleneck
         # decode /32 → /2 against skips [/16, /8, /4, /2]
@@ -316,9 +465,11 @@ BACKBONES: dict = {
     "resnet152": lambda dtype=jnp.bfloat16: (ResNet([3, 8, 36, 3], dtype=dtype), 2048),
     "vit_base_patch16_224": lambda dtype=jnp.bfloat16: (ViT(12, 768, 12, dtype=dtype), 768),
     "vit_large_patch16_224": lambda dtype=jnp.bfloat16: (ViT(24, 1024, 16, dtype=dtype), 1024),
-    # resnet34 encoder (weight-portable from torchvision) + skip decoder;
-    # pooled dim = 512 (the encoder bottleneck)
+    # resnet34/resnet50 encoders (weight-portable from torchvision) + skip
+    # decoder; pooled dim = the encoder bottleneck channels
     "unet_resnet34": lambda dtype=jnp.bfloat16: (UNetResNet(dtype=dtype), 512),
+    "unet_resnet50": lambda dtype=jnp.bfloat16: (UNetResNet(encoder_arch="resnet50", dtype=dtype), 2048),
+    "unet_efficientnet_b0": lambda dtype=jnp.bfloat16: (UNetResNet(encoder_arch="efficientnet_b0", dtype=dtype), 320),
     "unet_small": lambda dtype=jnp.bfloat16: (UNet(widths=(32, 64, 128, 256), out_dim=256, dtype=dtype), 256),
     # micro variant for CI / SPMD-invariance tests: same architecture shape,
     # minimal channel counts so CPU XLA compiles in seconds

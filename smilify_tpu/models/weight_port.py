@@ -109,17 +109,87 @@ def port_resnet_batch_stats(npz_path: str, flax_batch_stats: Dict) -> Dict:
     return stats
 
 
+def _effnet_block_layers(sd, prefix: str):
+    """(flax submodule name, torch key, kind) triples for one timm effnet
+    block — DepthwiseSeparableConv (stage 0) vs InvertedResidual layouts."""
+    if f"{prefix}.conv_pwl.weight" in sd:  # InvertedResidual
+        return (
+            ("conv_pw", "conv"), ("bn1", "bn"), ("conv_dw", "conv"), ("bn2", "bn"),
+            ("se", "se"), ("conv_pwl", "conv"), ("bn3", "bn"),
+        )
+    return (("conv_dw", "conv"), ("bn1", "bn"), ("se", "se"),
+            ("conv_pw", "conv"), ("bn2", "bn"))
+
+
+def load_ported_efficientnet(npz_path: str, flax_params: Dict) -> Dict:
+    """Map timm efficientnet_b0 names (conv_stem/bn1/blocks.{s}.{b}.*) onto
+    our :class:`~smilify_tpu.models.backbones.EfficientNetEncoder` tree
+    (submodules are named blocks_{s}_{b} with timm-matching layer names)."""
+    import jax
+
+    sd = dict(np.load(npz_path))
+    params = jax.tree_util.tree_map(lambda x: x, flax_params)
+
+    params["conv_stem"]["kernel"] = _conv(sd["conv_stem.weight"])
+    params["bn1"]["scale"] = sd["bn1.weight"]
+    params["bn1"]["bias"] = sd["bn1.bias"]
+
+    for name in list(params):
+        if not name.startswith("blocks_"):
+            continue
+        s, b = name.split("_")[1:]
+        prefix = f"blocks.{s}.{b}"
+        blk = params[name]
+        for layer, kind in _effnet_block_layers(sd, prefix):
+            if kind == "conv":
+                blk[layer]["kernel"] = _conv(sd[f"{prefix}.{layer}.weight"])
+            elif kind == "bn":
+                blk[layer]["scale"] = sd[f"{prefix}.{layer}.weight"]
+                blk[layer]["bias"] = sd[f"{prefix}.{layer}.bias"]
+            else:  # se
+                for se_conv in ("conv_reduce", "conv_expand"):
+                    blk["se"][se_conv]["kernel"] = _conv(sd[f"{prefix}.se.{se_conv}.weight"])
+                    blk["se"][se_conv]["bias"] = sd[f"{prefix}.se.{se_conv}.bias"]
+    return params
+
+
+def port_efficientnet_batch_stats(npz_path: str, flax_batch_stats: Dict) -> Dict:
+    import jax
+
+    sd = dict(np.load(npz_path))
+    stats = jax.tree_util.tree_map(lambda x: x, flax_batch_stats)
+    stats["bn1"]["mean"] = sd["bn1.running_mean"]
+    stats["bn1"]["var"] = sd["bn1.running_var"]
+    for name in list(stats):
+        if not name.startswith("blocks_"):
+            continue
+        s, b = name.split("_")[1:]
+        prefix = f"blocks.{s}.{b}"
+        for layer, kind in _effnet_block_layers(sd, prefix):
+            if kind == "bn":
+                stats[name][layer]["mean"] = sd[f"{prefix}.{layer}.running_mean"]
+                stats[name][layer]["var"] = sd[f"{prefix}.{layer}.running_var"]
+    return stats
+
+
 def load_ported_unet_encoder(npz_path: str, flax_params: Dict,
                              flax_batch_stats: Dict) -> tuple:
-    """Port a torchvision resnet34 dump into the ``encoder`` subtree of a
+    """Port a torchvision resnet34/resnet50 or timm efficientnet_b0 dump into
+    the ``encoder`` subtree of a
     :class:`~smilify_tpu.models.backbones.UNetResNet` variable tree; the skip
     decoder stays at its fresh init (the reference's timm-encoder UNets are
     exactly this: pretrained encoder + random decoder,
-    ``backbone_factory.py:319-514``). Returns (params, batch_stats)."""
+    ``backbone_factory.py:319-514``). The encoder family is auto-detected from
+    the dump's key names. Returns (params, batch_stats)."""
+    sd_keys = np.load(npz_path).files
     params = dict(flax_params)
-    params["encoder"] = load_ported_resnet(npz_path, flax_params["encoder"])
     stats = dict(flax_batch_stats)
-    stats["encoder"] = port_resnet_batch_stats(npz_path, flax_batch_stats["encoder"])
+    if "conv_stem.weight" in sd_keys:  # timm efficientnet
+        params["encoder"] = load_ported_efficientnet(npz_path, flax_params["encoder"])
+        stats["encoder"] = port_efficientnet_batch_stats(npz_path, flax_batch_stats["encoder"])
+    else:
+        params["encoder"] = load_ported_resnet(npz_path, flax_params["encoder"])
+        stats["encoder"] = port_resnet_batch_stats(npz_path, flax_batch_stats["encoder"])
     return params, stats
 
 
@@ -187,7 +257,7 @@ def load_pretrained_into_variables(npz_path: str, backbone_name: str,
     elif backbone_name.startswith("vit"):
         params = dict(params)
         params[key] = load_ported_vit(npz_path, params[key])
-    elif backbone_name == "unet_resnet34":
+    elif backbone_name in ("unet_resnet34", "unet_resnet50", "unet_efficientnet_b0"):
         params, batch_stats = dict(params), dict(batch_stats)
         params[key], batch_stats[key] = load_ported_unet_encoder(
             npz_path, params[key], batch_stats[key]
@@ -196,7 +266,8 @@ def load_pretrained_into_variables(npz_path: str, backbone_name: str,
         raise ValueError(
             f"no torch weight source exists for backbone '{backbone_name}' — "
             "the hand-rolled UNet variants (unet_small/unet_micro) train from "
-            "scratch; unet_resnet34 takes a torchvision resnet34 dump"
+            "scratch; unet_resnet34/unet_resnet50/unet_efficientnet_b0 take "
+            "torchvision resnet34/resnet50 or timm efficientnet_b0 dumps"
         )
     return params, batch_stats
 

@@ -115,6 +115,8 @@ _BACKBONE_ACTIVATION_MB = {
     "vit_base_patch16_224": 110,
     "vit_large_patch16_224": 260,
     "unet_resnet34": 140,
+    "unet_resnet50": 210,
+    "unet_efficientnet_b0": 130,
     "unet_small": 45,
 }
 _BACKBONE_PARAM_MB = {
@@ -124,6 +126,8 @@ _BACKBONE_PARAM_MB = {
     "vit_base_patch16_224": 330,
     "vit_large_patch16_224": 1160,
     "unet_resnet34": 120,
+    "unet_resnet50": 135,
+    "unet_efficientnet_b0": 30,
     "unet_small": 20,
 }
 

@@ -115,23 +115,42 @@ def test_resnet152_port_parity(fixture_dir):
                                atol=3e-2 * scale, rtol=3e-2)
 
 
-def test_unet_resnet34_encoder_port_parity(fixture_dir):
-    """The unet_resnet34 encoder ports from a torchvision resnet34 dump and
-    reproduces every skip-stage feature map — the reference's pretrained
-    timm-encoder UNet flow (backbone_factory.py:319-514). The decoder stays
-    fresh, so parity is asserted per stage, not on the full UNet forward."""
+@pytest.mark.parametrize(
+    "arch", ["resnet34_encoder", "resnet50_encoder", "efficientnet_b0_encoder"]
+)
+def test_unet_encoder_port_parity(fixture_dir, arch):
+    """The unet_resnet34/unet_resnet50/unet_efficientnet_b0 encoders port from
+    torchvision/timm dumps and reproduce every skip-stage feature map — the
+    reference's pretrained timm-encoder UNet flow (backbone_factory.py:319-514,
+    whose _ENCODER_MAP lists all three). The decoder stays fresh, so parity is
+    asserted per stage, not on the full UNet forward."""
     import jax
     import jax.numpy as jnp
 
-    from smilify_tpu.models.backbones import ResNet34Encoder, normalize_imagenet
-    from smilify_tpu.models.weight_port import load_ported_resnet, port_resnet_batch_stats
+    from smilify_tpu.models.backbones import (
+        EfficientNetEncoder,
+        ResNetEncoder,
+        normalize_imagenet,
+    )
+    from smilify_tpu.models.weight_port import (
+        load_ported_efficientnet,
+        load_ported_resnet,
+        port_efficientnet_batch_stats,
+        port_resnet_batch_stats,
+    )
 
-    npz = fixture_dir / "resnet34_encoder.npz"
-    _gen("resnet34_encoder", npz)
+    npz = fixture_dir / f"{arch}.npz"
+    _gen(arch, npz)
     fx = dict(np.load(npz))
 
     x = normalize_imagenet(jnp.asarray(fx["__input__"].transpose(0, 2, 3, 1)))
-    model = ResNet34Encoder(dtype=jnp.float32)
+    if arch == "efficientnet_b0_encoder":
+        model = EfficientNetEncoder(dtype=jnp.float32)
+        load_ported_resnet = load_ported_efficientnet  # noqa: F811
+        port_resnet_batch_stats = port_efficientnet_batch_stats  # noqa: F811
+    else:
+        block = "basic" if arch == "resnet34_encoder" else "bottleneck"
+        model = ResNetEncoder(block=block, dtype=jnp.float32)
     variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
     params = load_ported_resnet(str(npz), variables["params"])
     stats = port_resnet_batch_stats(str(npz), variables["batch_stats"])
@@ -147,37 +166,49 @@ def test_unet_resnet34_encoder_port_parity(fixture_dir):
                                    err_msg=f"stage {i}")
 
 
-def test_unet_resnet34_pretrained_npz_route(fixture_dir):
-    """model.pretrained_npz works for a UNet variant end-to-end: the policy
-    routes a resnet34 dump into the UNetResNet encoder subtree, the decoder
-    keeps its init, and the ported model still runs."""
+@pytest.mark.parametrize(
+    "backbone,arch,pooled_dim",
+    [("unet_resnet34", "resnet34_encoder", 512),
+     ("unet_resnet50", "resnet50_encoder", 2048),
+     ("unet_efficientnet_b0", "efficientnet_b0_encoder", 320)],
+)
+def test_unet_pretrained_npz_route(fixture_dir, backbone, arch, pooled_dim):
+    """model.pretrained_npz works for the UNet variants end-to-end: the policy
+    routes a resnet34/resnet50 dump into the UNetResNet encoder subtree, the
+    decoder keeps its init, and the ported model still runs."""
     import jax.numpy as jnp
 
-    from smilify_tpu.models.backbones import UNetResNet
+    from smilify_tpu.models.backbones import create_backbone
     from smilify_tpu.models.weight_port import load_pretrained_into_variables
 
-    npz = fixture_dir / "resnet34_encoder.npz"
+    npz = fixture_dir / f"{arch}.npz"
     if not npz.exists():
-        _gen("resnet34_encoder", npz)
+        _gen(arch, npz)
     fx = dict(np.load(npz))
 
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    model = UNetResNet(dtype=jnp.float32)
+    model, dim = create_backbone(backbone, dtype=jnp.float32)
+    assert dim == pooled_dim
     variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
     params = {"UNetResNet_0": variables["params"]}
     stats = {"UNetResNet_0": variables["batch_stats"]}
 
     params, stats = load_pretrained_into_variables(
-        str(npz), "unet_resnet34", params, stats)
-    # encoder stem really is the torch conv1 weight
-    got = np.asarray(params["UNetResNet_0"]["encoder"]["Conv_0"]["kernel"])
-    np.testing.assert_array_equal(got, fx["conv1.weight"].transpose(2, 3, 1, 0))
+        str(npz), backbone, params, stats)
+    # encoder stem really is the torch stem conv weight
+    if "conv_stem.weight" in fx:  # timm efficientnet naming
+        got = np.asarray(params["UNetResNet_0"]["encoder"]["conv_stem"]["kernel"])
+        want = fx["conv_stem.weight"]
+    else:
+        got = np.asarray(params["UNetResNet_0"]["encoder"]["Conv_0"]["kernel"])
+        want = fx["conv1.weight"]
+    np.testing.assert_array_equal(got, want.transpose(2, 3, 1, 0))
     # ported variables still drive the full UNet forward
     feats = model.apply(
         {"params": params["UNetResNet_0"], "batch_stats": stats["UNetResNet_0"]},
         x, train=False)
     assert np.isfinite(np.asarray(feats.pooled)).all()
-    assert feats.pooled.shape == (1, 512)
+    assert feats.pooled.shape == (1, pooled_dim)
 
 
 @pytest.mark.slow

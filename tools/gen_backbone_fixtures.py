@@ -23,7 +23,8 @@ resnet34 UNet encoder (the reference's timm-encoder UNets,
 maps so the ported skip pyramid is checked stage by stage).
 
 Usage:  python tools/gen_backbone_fixtures.py
-            {resnet50|resnet152|vit_base|vit_large|resnet34_encoder} out.npz
+            {resnet50|resnet152|vit_base|vit_large|
+             resnet34_encoder|resnet50_encoder|efficientnet_b0_encoder} out.npz
 """
 
 import math
@@ -204,6 +205,110 @@ class ViTB16(nn.Module):
         return x[:, 0], x[:, 1:]  # (CLS pooled, patch tokens)
 
 
+# ---------------------------------------------------------------------------
+# timm-compatible efficientnet_b0 (names: conv_stem/bn1/blocks.{s}.{b}.*)
+# ---------------------------------------------------------------------------
+
+
+class SqueezeExcite(nn.Module):
+    def __init__(self, chs, reduced):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(chs, reduced, 1, bias=True)
+        self.conv_expand = nn.Conv2d(reduced, chs, 1, bias=True)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(torch.nn.functional.silu(self.conv_reduce(s)))
+        return x * torch.sigmoid(s)
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """timm effnet stage-0 block: dw → SE → pw-linear."""
+
+    def __init__(self, in_chs, out_chs, k=3):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(in_chs, in_chs, k, padding=k // 2, groups=in_chs, bias=False)
+        self.bn1 = nn.BatchNorm2d(in_chs)
+        self.se = SqueezeExcite(in_chs, max(1, int(in_chs * 0.25)))
+        self.conv_pw = nn.Conv2d(in_chs, out_chs, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out_chs)
+        self.has_residual = in_chs == out_chs
+
+    def forward(self, x):
+        y = torch.nn.functional.silu(self.bn1(self.conv_dw(x)))
+        y = self.bn2(self.conv_pw(self.se(y)))
+        return y + x if self.has_residual else y
+
+
+class InvertedResidual(nn.Module):
+    """timm effnet MBConv: pw-expand → dw → SE → pw-linear (+residual)."""
+
+    def __init__(self, in_chs, out_chs, k=3, stride=1, expand=6):
+        super().__init__()
+        mid = in_chs * expand
+        self.conv_pw = nn.Conv2d(in_chs, mid, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid)
+        self.conv_dw = nn.Conv2d(mid, mid, k, stride=stride, padding=k // 2, groups=mid, bias=False)
+        self.bn2 = nn.BatchNorm2d(mid)
+        self.se = SqueezeExcite(mid, max(1, int(in_chs * 0.25)))
+        self.conv_pwl = nn.Conv2d(mid, out_chs, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_chs)
+        self.has_residual = stride == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        y = torch.nn.functional.silu(self.bn1(self.conv_pw(x)))
+        y = torch.nn.functional.silu(self.bn2(self.conv_dw(y)))
+        y = self.bn3(self.conv_pwl(self.se(y)))
+        return y + x if self.has_residual else y
+
+
+# must match smilify_tpu.models.backbones.EFFICIENTNET_B0_STAGES
+EFFNET_B0_STAGES = (
+    ("ds", 1, 3, 1, 1, 16),
+    ("ir", 2, 3, 2, 6, 24),
+    ("ir", 2, 5, 2, 6, 40),
+    ("ir", 3, 3, 2, 6, 80),
+    ("ir", 3, 5, 1, 6, 112),
+    ("ir", 4, 5, 2, 6, 192),
+    ("ir", 1, 3, 1, 6, 320),
+)
+EFFNET_FEATURE_STAGES = (0, 1, 2, 4, 6)
+
+
+class EfficientNetB0(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv_stem = nn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(32)
+        blocks = []
+        in_chs = 32
+        for kind, n_blocks, k, stride, expand, out_chs in EFFNET_B0_STAGES:
+            stage = []
+            for b in range(n_blocks):
+                if kind == "ds":
+                    stage.append(DepthwiseSeparableConv(in_chs, out_chs, k))
+                else:
+                    stage.append(InvertedResidual(in_chs, out_chs, k,
+                                                  stride if b == 0 else 1, expand))
+                in_chs = out_chs
+            blocks.append(nn.Sequential(*stage))
+        self.blocks = nn.Sequential(*blocks)
+
+    def forward_stages(self, x):
+        x = torch.nn.functional.silu(self.bn1(self.conv_stem(x)))
+        feats = []
+        for s, stage in enumerate(self.blocks):
+            x = stage(x)
+            if s in EFFNET_FEATURE_STAGES:
+                feats.append(x)
+        return feats
+
+    def init_like_torchvision(self):
+        for m in self.modules():
+            if isinstance(m, nn.Conv2d):
+                nn.init.kaiming_normal_(m.weight, mode="fan_out", nonlinearity="relu")
+
+
 def main():
     arch, out = sys.argv[1], sys.argv[2]
     torch.manual_seed(0)
@@ -231,8 +336,22 @@ def main():
         with torch.no_grad():
             pooled = model(xn)
         extra = {"__pooled__": pooled.numpy()}
-    elif arch == "resnet34_encoder":
-        model = ResNet50((3, 4, 6, 3), BasicBlock)
+    elif arch == "efficientnet_b0_encoder":
+        model = EfficientNetB0()
+        model.init_like_torchvision()
+        model = model.eval()
+        with torch.no_grad():
+            for m in model.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.normal_(0.0, 0.05)
+                    m.running_var.uniform_(0.8, 1.2)
+        with torch.no_grad():
+            stages = model.forward_stages(xn)
+        extra = {f"__stage{i}__": s.numpy().transpose(0, 2, 3, 1)
+                 for i, s in enumerate(stages)}
+    elif arch in ("resnet34_encoder", "resnet50_encoder"):
+        block = BasicBlock if arch == "resnet34_encoder" else Bottleneck
+        model = ResNet50((3, 4, 6, 3), block)
         model.init_like_torchvision()
         model = model.eval()
         with torch.no_grad():
