@@ -288,7 +288,11 @@ ResNet34Encoder = ResNetEncoder
 
 # (block_type, num_blocks, kernel, first_stride, expand_ratio, out_channels);
 # mirrors timm's efficientnet_b0 arch_def. SE reduction is 0.25 of each
-# block's INPUT channels (timm v1 semantics for effnet).
+# block's INPUT channels (timm v1 semantics for effnet). The b3/b5 tables are
+# the standard compound scaling (width 1.2/1.6 via round_channels-to-8, depth
+# 1.4/2.2 via ceil) — their feature pyramids (24,32,48,136,384) and
+# (24,40,64,176,512) are exactly what the reference's channel probe reports
+# for timm's features_only models (backbone_factory.py:390 comment).
 EFFICIENTNET_B0_STAGES = (
     ("ds", 1, 3, 1, 1, 16),
     ("ir", 2, 3, 2, 6, 24),
@@ -298,6 +302,29 @@ EFFICIENTNET_B0_STAGES = (
     ("ir", 4, 5, 2, 6, 192),
     ("ir", 1, 3, 1, 6, 320),
 )
+EFFICIENTNET_B3_STAGES = (
+    ("ds", 2, 3, 1, 1, 24),
+    ("ir", 3, 3, 2, 6, 32),
+    ("ir", 3, 5, 2, 6, 48),
+    ("ir", 5, 3, 2, 6, 96),
+    ("ir", 5, 5, 1, 6, 136),
+    ("ir", 6, 5, 2, 6, 232),
+    ("ir", 2, 3, 1, 6, 384),
+)
+EFFICIENTNET_B5_STAGES = (
+    ("ds", 3, 3, 1, 1, 24),
+    ("ir", 5, 3, 2, 6, 40),
+    ("ir", 5, 5, 2, 6, 64),
+    ("ir", 7, 3, 2, 6, 128),
+    ("ir", 7, 5, 1, 6, 176),
+    ("ir", 9, 5, 2, 6, 304),
+    ("ir", 3, 3, 1, 6, 512),
+)
+EFFICIENTNET_VARIANTS = {
+    "efficientnet_b0": (32, EFFICIENTNET_B0_STAGES, 320),
+    "efficientnet_b3": (40, EFFICIENTNET_B3_STAGES, 384),
+    "efficientnet_b5": (48, EFFICIENTNET_B5_STAGES, 512),
+}
 # stages whose OUTPUT is a UNet skip feature (strides 2, 4, 8, 16, 32)
 _EFFNET_FEATURE_STAGES = (0, 1, 2, 4, 6)
 
@@ -375,19 +402,20 @@ class _MBConv(nn.Module):
 
 
 class EfficientNetEncoder(nn.Module):
-    """timm efficientnet_b0 trunk exposing the five UNet skip stages —
-    channels (16,/2) (24,/4) (40,/8) (112,/16) (320,/32), exactly the
+    """timm efficientnet_b0/b3/b5 trunk exposing the five UNet skip stages —
+    e.g. b0 channels (16,/2) (24,/4) (40,/8) (112,/16) (320,/32), exactly the
     ``features_only=True`` pyramid the reference's UNetBackbone consumes
     (``backbone_factory.py:383-395``). Weights port from a timm
-    efficientnet_b0 state dict via ``weight_port.load_ported_efficientnet``
+    efficientnet state dict via ``weight_port.load_ported_efficientnet``
     (submodule names mirror timm's conv_stem/bn1/blocks.{s}.{b} keys)."""
 
+    stem_ch: int = 32
     stages: tuple = EFFICIENTNET_B0_STAGES
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+        x = nn.Conv(self.stem_ch, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv_stem")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
         x = nn.silu(x)
@@ -426,8 +454,10 @@ class UNetResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> BackboneFeatures:
         x = normalize_imagenet(x).astype(self.dtype)
-        if self.encoder_arch == "efficientnet_b0":
-            stages = EfficientNetEncoder(dtype=self.dtype, name="encoder")(x, train=train)
+        if self.encoder_arch in EFFICIENTNET_VARIANTS:
+            stem, stage_cfg, _ = EFFICIENTNET_VARIANTS[self.encoder_arch]
+            stages = EfficientNetEncoder(stem_ch=stem, stages=stage_cfg,
+                                         dtype=self.dtype, name="encoder")(x, train=train)
         else:
             block = "bottleneck" if self.encoder_arch == "resnet50" else "basic"
             stages = ResNetEncoder(block=block, dtype=self.dtype, name="encoder")(x, train=train)
@@ -470,6 +500,8 @@ BACKBONES: dict = {
     "unet_resnet34": lambda dtype=jnp.bfloat16: (UNetResNet(dtype=dtype), 512),
     "unet_resnet50": lambda dtype=jnp.bfloat16: (UNetResNet(encoder_arch="resnet50", dtype=dtype), 2048),
     "unet_efficientnet_b0": lambda dtype=jnp.bfloat16: (UNetResNet(encoder_arch="efficientnet_b0", dtype=dtype), 320),
+    "unet_efficientnet_b3": lambda dtype=jnp.bfloat16: (UNetResNet(encoder_arch="efficientnet_b3", dtype=dtype), 384),
+    "unet_efficientnet_b5": lambda dtype=jnp.bfloat16: (UNetResNet(encoder_arch="efficientnet_b5", dtype=dtype), 512),
     "unet_small": lambda dtype=jnp.bfloat16: (UNet(widths=(32, 64, 128, 256), out_dim=256, dtype=dtype), 256),
     # micro variant for CI / SPMD-invariance tests: same architecture shape,
     # minimal channel counts so CPU XLA compiles in seconds

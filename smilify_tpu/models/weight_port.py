@@ -257,7 +257,8 @@ def load_pretrained_into_variables(npz_path: str, backbone_name: str,
     elif backbone_name.startswith("vit"):
         params = dict(params)
         params[key] = load_ported_vit(npz_path, params[key])
-    elif backbone_name in ("unet_resnet34", "unet_resnet50", "unet_efficientnet_b0"):
+    elif backbone_name in ("unet_resnet34", "unet_resnet50", "unet_efficientnet_b0",
+                           "unet_efficientnet_b3", "unet_efficientnet_b5"):
         params, batch_stats = dict(params), dict(batch_stats)
         params[key], batch_stats[key] = load_ported_unet_encoder(
             npz_path, params[key], batch_stats[key]

@@ -117,6 +117,8 @@ _BACKBONE_ACTIVATION_MB = {
     "unet_resnet34": 140,
     "unet_resnet50": 210,
     "unet_efficientnet_b0": 130,
+    "unet_efficientnet_b3": 170,
+    "unet_efficientnet_b5": 260,
     "unet_small": 45,
 }
 _BACKBONE_PARAM_MB = {
@@ -128,6 +130,8 @@ _BACKBONE_PARAM_MB = {
     "unet_resnet34": 120,
     "unet_resnet50": 135,
     "unet_efficientnet_b0": 30,
+    "unet_efficientnet_b3": 65,
+    "unet_efficientnet_b5": 135,
     "unet_small": 20,
 }
 

@@ -116,18 +116,22 @@ def test_resnet152_port_parity(fixture_dir):
 
 
 @pytest.mark.parametrize(
-    "arch", ["resnet34_encoder", "resnet50_encoder", "efficientnet_b0_encoder"]
+    "arch", ["resnet34_encoder", "resnet50_encoder", "efficientnet_b0_encoder",
+             "efficientnet_b3_encoder",
+             pytest.param("efficientnet_b5_encoder", marks=pytest.mark.slow)]
 )
 def test_unet_encoder_port_parity(fixture_dir, arch):
-    """The unet_resnet34/unet_resnet50/unet_efficientnet_b0 encoders port from
-    torchvision/timm dumps and reproduce every skip-stage feature map — the
-    reference's pretrained timm-encoder UNet flow (backbone_factory.py:319-514,
-    whose _ENCODER_MAP lists all three). The decoder stays fresh, so parity is
-    asserted per stage, not on the full UNet forward."""
+    """The ported-encoder UNets (resnet34/resnet50/efficientnet_b0/b3) port
+    from torchvision/timm dumps and reproduce every skip-stage feature map —
+    the reference's pretrained timm-encoder UNet flow
+    (backbone_factory.py:319-514, whose _ENCODER_MAP lists them). The decoder
+    stays fresh, so parity is asserted per stage, not on the full UNet
+    forward."""
     import jax
     import jax.numpy as jnp
 
     from smilify_tpu.models.backbones import (
+        EFFICIENTNET_VARIANTS,
         EfficientNetEncoder,
         ResNetEncoder,
         normalize_imagenet,
@@ -144,8 +148,9 @@ def test_unet_encoder_port_parity(fixture_dir, arch):
     fx = dict(np.load(npz))
 
     x = normalize_imagenet(jnp.asarray(fx["__input__"].transpose(0, 2, 3, 1)))
-    if arch == "efficientnet_b0_encoder":
-        model = EfficientNetEncoder(dtype=jnp.float32)
+    if arch.startswith("efficientnet_"):
+        stem, stage_cfg, _ = EFFICIENTNET_VARIANTS[arch[: -len("_encoder")]]
+        model = EfficientNetEncoder(stem_ch=stem, stages=stage_cfg, dtype=jnp.float32)
         load_ported_resnet = load_ported_efficientnet  # noqa: F811
         port_resnet_batch_stats = port_efficientnet_batch_stats  # noqa: F811
     else:

@@ -262,27 +262,48 @@ class InvertedResidual(nn.Module):
         return y + x if self.has_residual else y
 
 
-# must match smilify_tpu.models.backbones.EFFICIENTNET_B0_STAGES
-EFFNET_B0_STAGES = (
-    ("ds", 1, 3, 1, 1, 16),
-    ("ir", 2, 3, 2, 6, 24),
-    ("ir", 2, 5, 2, 6, 40),
-    ("ir", 3, 3, 2, 6, 80),
-    ("ir", 3, 5, 1, 6, 112),
-    ("ir", 4, 5, 2, 6, 192),
-    ("ir", 1, 3, 1, 6, 320),
-)
+# must match smilify_tpu.models.backbones.EFFICIENTNET_VARIANTS
+EFFNET_VARIANTS = {
+    "efficientnet_b0": (32, (
+        ("ds", 1, 3, 1, 1, 16),
+        ("ir", 2, 3, 2, 6, 24),
+        ("ir", 2, 5, 2, 6, 40),
+        ("ir", 3, 3, 2, 6, 80),
+        ("ir", 3, 5, 1, 6, 112),
+        ("ir", 4, 5, 2, 6, 192),
+        ("ir", 1, 3, 1, 6, 320),
+    )),
+    "efficientnet_b3": (40, (
+        ("ds", 2, 3, 1, 1, 24),
+        ("ir", 3, 3, 2, 6, 32),
+        ("ir", 3, 5, 2, 6, 48),
+        ("ir", 5, 3, 2, 6, 96),
+        ("ir", 5, 5, 1, 6, 136),
+        ("ir", 6, 5, 2, 6, 232),
+        ("ir", 2, 3, 1, 6, 384),
+    )),
+    "efficientnet_b5": (48, (
+        ("ds", 3, 3, 1, 1, 24),
+        ("ir", 5, 3, 2, 6, 40),
+        ("ir", 5, 5, 2, 6, 64),
+        ("ir", 7, 3, 2, 6, 128),
+        ("ir", 7, 5, 1, 6, 176),
+        ("ir", 9, 5, 2, 6, 304),
+        ("ir", 3, 3, 1, 6, 512),
+    )),
+}
 EFFNET_FEATURE_STAGES = (0, 1, 2, 4, 6)
 
 
 class EfficientNetB0(nn.Module):
-    def __init__(self):
+    def __init__(self, variant="efficientnet_b0"):
         super().__init__()
-        self.conv_stem = nn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False)
-        self.bn1 = nn.BatchNorm2d(32)
+        stem_ch, stage_cfg = EFFNET_VARIANTS[variant]
+        self.conv_stem = nn.Conv2d(3, stem_ch, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(stem_ch)
         blocks = []
-        in_chs = 32
-        for kind, n_blocks, k, stride, expand, out_chs in EFFNET_B0_STAGES:
+        in_chs = stem_ch
+        for kind, n_blocks, k, stride, expand, out_chs in stage_cfg:
             stage = []
             for b in range(n_blocks):
                 if kind == "ds":
@@ -336,8 +357,8 @@ def main():
         with torch.no_grad():
             pooled = model(xn)
         extra = {"__pooled__": pooled.numpy()}
-    elif arch == "efficientnet_b0_encoder":
-        model = EfficientNetB0()
+    elif arch.startswith("efficientnet_") and arch.endswith("_encoder"):
+        model = EfficientNetB0(arch[: -len("_encoder")])
         model.init_like_torchvision()
         model = model.eval()
         with torch.no_grad():
