@@ -23,7 +23,14 @@ import argparse
 def main(argv=None):
     ap = argparse.ArgumentParser(description="SMIL animation → skinned .glb")
     ap.add_argument("--model", required=True, help="model .pkl")
-    ap.add_argument("--animation", required=True, help="animation .npz")
+    ap.add_argument("--animation", default=None,
+                    help="animation .npz; omit with --rest-pose for a static export")
+    ap.add_argument("--rest-pose", action="store_true",
+                    help="export the skinned model in its rest pose (no "
+                         "animation file needed — the glTF analog of the "
+                         "addon's plain Export SMIL Model)")
+    ap.add_argument("--betas", default=None,
+                    help="comma-separated shape coefficients for --rest-pose")
     ap.add_argument("--out", required=True, help="output .glb path")
     ap.add_argument("--mode", default="auto", choices=["auto", "hierarchy", "flat"],
                     help="skeleton layout (flat is exact under per-joint scales)")
@@ -44,7 +51,22 @@ def main(argv=None):
     from smilify_tpu.utils.gltf_export import export_animation_gltf
 
     spec = load_model_spec(args.model, align_symmetry=args.align_symmetry)
-    data, sidecar = load_animation(args.animation)
+    if args.rest_pose:
+        import numpy as np
+
+        betas = (np.asarray([float(v) for v in args.betas.split(",")], np.float32)
+                 if args.betas else np.zeros(spec.n_betas, np.float32))
+        data = {
+            "poses": np.zeros((1, 3 * spec.n_joints), np.float32),
+            "trans": np.zeros((1, 3), np.float32),
+            "betas": betas,
+            "mocap_framerate": np.float32(1.0),
+        }
+        sidecar = {}
+    elif args.animation is None:
+        ap.error("--animation is required unless --rest-pose is given")
+    else:
+        data, sidecar = load_animation(args.animation)
     out = export_animation_gltf(
         spec,
         data,

@@ -319,6 +319,25 @@ def test_cli_roundtrip(tmp_path):
     assert gltf["extras"]["smilify_tpu"]["fps"] == 12.0
 
 
+def test_rest_pose_export(stick_spec, tmp_path):
+    """--rest-pose exports the skinned model with no animation file (the
+    glTF analog of the addon's plain Export SMIL Model)."""
+    from smilify_tpu.cli.export_gltf import main as export_main
+
+    out = str(tmp_path / "rest.glb")
+    export_main([
+        "--model", "/root/reference/3D_model_prep/SMILy_STICK.pkl",
+        "--rest-pose", "--out", out,
+    ])
+    gltf, blob = load_glb(out)
+    pos = read_accessor(
+        gltf, blob, gltf["meshes"][0]["primitives"][0]["attributes"]["POSITION"]
+    )
+    assert np.allclose(pos, np.asarray(stick_spec.v_template), atol=1e-6)
+    assert gltf["extras"]["smilify_tpu"]["num_frames"] == 1
+    assert len(gltf["skins"][0]["joints"]) == stick_spec.n_joints
+
+
 def test_recorder_exports_betas_per_frame(tmp_path):
     """Varying per-frame betas land in the npz under the reference's
     betas_per_frame key; constant betas stay out (AMASS compatibility)."""
