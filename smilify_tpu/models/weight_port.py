@@ -110,29 +110,56 @@ def port_resnet_batch_stats(npz_path: str, flax_batch_stats: Dict) -> Dict:
 
 
 def _effnet_block_layers(sd, prefix: str):
-    """(flax submodule name, torch key, kind) triples for one timm effnet
-    block — DepthwiseSeparableConv (stage 0) vs InvertedResidual layouts."""
+    """(flax submodule name, kind) pairs for one timm generic-builder block —
+    DepthwiseSeparableConv (ds), InvertedResidual (ir), or ConvBnAct (cn,
+    mobilenetv3's final 960-ch block). SE is optional (mobilenetv3 omits it
+    on the relu/no-SE stages)."""
+    has_se = f"{prefix}.se.conv_reduce.weight" in sd
+    if f"{prefix}.conv.weight" in sd:  # ConvBnAct
+        return (("conv", "conv"), ("bn1", "bn"))
     if f"{prefix}.conv_pwl.weight" in sd:  # InvertedResidual
-        return (
-            ("conv_pw", "conv"), ("bn1", "bn"), ("conv_dw", "conv"), ("bn2", "bn"),
-            ("se", "se"), ("conv_pwl", "conv"), ("bn3", "bn"),
+        layers = [("conv_pw", "conv"), ("bn1", "bn"), ("conv_dw", "conv"), ("bn2", "bn")]
+        if has_se:
+            layers.append(("se", "se"))
+        return tuple(layers) + (("conv_pwl", "conv"), ("bn3", "bn"))
+    layers = [("conv_dw", "conv"), ("bn1", "bn")]
+    if has_se:
+        layers.append(("se", "se"))
+    return tuple(layers) + (("conv_pw", "conv"), ("bn2", "bn"))
+
+
+def _set_checked(dst: Dict, leaf: str, value, src_key: str) -> None:
+    """Assign with a shape gate: a silent broadcast/reshape here would defer
+    any layout mismatch (e.g. SE reduced-channel rounding on scaled widths)
+    to an opaque apply-time error far from the offending key."""
+    have = tuple(np.shape(dst[leaf]))
+    want = tuple(np.shape(value))
+    if have != want:
+        raise ValueError(
+            f"ported weight shape mismatch at '{src_key}' -> '{leaf}': "
+            f"checkpoint {want} vs model {have}"
         )
-    return (("conv_dw", "conv"), ("bn1", "bn"), ("se", "se"),
-            ("conv_pw", "conv"), ("bn2", "bn"))
+    dst[leaf] = value
 
 
 def load_ported_efficientnet(npz_path: str, flax_params: Dict) -> Dict:
-    """Map timm efficientnet_b0 names (conv_stem/bn1/blocks.{s}.{b}.*) onto
-    our :class:`~smilify_tpu.models.backbones.EfficientNetEncoder` tree
-    (submodules are named blocks_{s}_{b} with timm-matching layer names)."""
+    """Map timm efficientnet_b0/b3/b5 names (conv_stem/bn1/blocks.{s}.{b}.*)
+    onto our :class:`~smilify_tpu.models.backbones.EfficientNetEncoder` tree
+    (submodules are named blocks_{s}_{b} with timm-matching layer names).
+
+    Every assignment is shape-checked so a real timm checkpoint whose widths
+    diverge from our replica (see tools/gen_backbone_fixtures.py — the parity
+    fixtures are generated from a hand-rolled timm-compatible replica, so a
+    one-time spot check against a real timm state dict is still owed) fails
+    loudly with the offending key name."""
     import jax
 
     sd = dict(np.load(npz_path))
     params = jax.tree_util.tree_map(lambda x: x, flax_params)
 
-    params["conv_stem"]["kernel"] = _conv(sd["conv_stem.weight"])
-    params["bn1"]["scale"] = sd["bn1.weight"]
-    params["bn1"]["bias"] = sd["bn1.bias"]
+    _set_checked(params["conv_stem"], "kernel", _conv(sd["conv_stem.weight"]), "conv_stem.weight")
+    _set_checked(params["bn1"], "scale", sd["bn1.weight"], "bn1.weight")
+    _set_checked(params["bn1"], "bias", sd["bn1.bias"], "bn1.bias")
 
     for name in list(params):
         if not name.startswith("blocks_"):
@@ -142,14 +169,19 @@ def load_ported_efficientnet(npz_path: str, flax_params: Dict) -> Dict:
         blk = params[name]
         for layer, kind in _effnet_block_layers(sd, prefix):
             if kind == "conv":
-                blk[layer]["kernel"] = _conv(sd[f"{prefix}.{layer}.weight"])
+                key = f"{prefix}.{layer}.weight"
+                _set_checked(blk[layer], "kernel", _conv(sd[key]), key)
             elif kind == "bn":
-                blk[layer]["scale"] = sd[f"{prefix}.{layer}.weight"]
-                blk[layer]["bias"] = sd[f"{prefix}.{layer}.bias"]
+                _set_checked(blk[layer], "scale", sd[f"{prefix}.{layer}.weight"],
+                             f"{prefix}.{layer}.weight")
+                _set_checked(blk[layer], "bias", sd[f"{prefix}.{layer}.bias"],
+                             f"{prefix}.{layer}.bias")
             else:  # se
                 for se_conv in ("conv_reduce", "conv_expand"):
-                    blk["se"][se_conv]["kernel"] = _conv(sd[f"{prefix}.se.{se_conv}.weight"])
-                    blk["se"][se_conv]["bias"] = sd[f"{prefix}.se.{se_conv}.bias"]
+                    key = f"{prefix}.se.{se_conv}"
+                    _set_checked(blk["se"][se_conv], "kernel", _conv(sd[f"{key}.weight"]),
+                                 f"{key}.weight")
+                    _set_checked(blk["se"][se_conv], "bias", sd[f"{key}.bias"], f"{key}.bias")
     return params
 
 
@@ -172,19 +204,74 @@ def port_efficientnet_batch_stats(npz_path: str, flax_batch_stats: Dict) -> Dict
     return stats
 
 
+def load_ported_convnext(npz_path: str, flax_params: Dict) -> Dict:
+    """Map timm convnext names (stem.{0,1}, stages.{s}.downsample.{0,1},
+    stages.{s}.blocks.{b}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma}) onto our
+    :class:`~smilify_tpu.models.backbones.ConvNeXtEncoder` tree. LayerNorm
+    only — no batch statistics to port. Every assignment is shape-checked
+    (same rationale as the efficientnet loader)."""
+    import jax
+
+    sd = dict(np.load(npz_path))
+    params = jax.tree_util.tree_map(lambda x: x, flax_params)
+
+    _set_checked(params["stem_conv"], "kernel", _conv(sd["stem.0.weight"]), "stem.0.weight")
+    _set_checked(params["stem_conv"], "bias", sd["stem.0.bias"], "stem.0.bias")
+    _set_checked(params["stem_norm"], "scale", sd["stem.1.weight"], "stem.1.weight")
+    _set_checked(params["stem_norm"], "bias", sd["stem.1.bias"], "stem.1.bias")
+
+    for name in list(params):
+        if name.startswith("stages_") and name.endswith("_downsample_norm"):
+            s = name.split("_")[1]
+            _set_checked(params[name], "scale", sd[f"stages.{s}.downsample.0.weight"],
+                         f"stages.{s}.downsample.0.weight")
+            _set_checked(params[name], "bias", sd[f"stages.{s}.downsample.0.bias"],
+                         f"stages.{s}.downsample.0.bias")
+        elif name.startswith("stages_") and name.endswith("_downsample_conv"):
+            s = name.split("_")[1]
+            _set_checked(params[name], "kernel", _conv(sd[f"stages.{s}.downsample.1.weight"]),
+                         f"stages.{s}.downsample.1.weight")
+            _set_checked(params[name], "bias", sd[f"stages.{s}.downsample.1.bias"],
+                         f"stages.{s}.downsample.1.bias")
+        elif name.startswith("stages_") and "_blocks_" in name:
+            s, b = name.split("_")[1], name.split("_")[3]
+            prefix = f"stages.{s}.blocks.{b}"
+            blk = params[name]
+            _set_checked(blk["conv_dw"], "kernel", _conv(sd[f"{prefix}.conv_dw.weight"]),
+                         f"{prefix}.conv_dw.weight")
+            _set_checked(blk["conv_dw"], "bias", sd[f"{prefix}.conv_dw.bias"],
+                         f"{prefix}.conv_dw.bias")
+            _set_checked(blk["norm"], "scale", sd[f"{prefix}.norm.weight"],
+                         f"{prefix}.norm.weight")
+            _set_checked(blk["norm"], "bias", sd[f"{prefix}.norm.bias"],
+                         f"{prefix}.norm.bias")
+            _set_checked(blk["mlp_fc1"], "kernel", _lin(sd[f"{prefix}.mlp.fc1.weight"]),
+                         f"{prefix}.mlp.fc1.weight")
+            _set_checked(blk["mlp_fc1"], "bias", sd[f"{prefix}.mlp.fc1.bias"],
+                         f"{prefix}.mlp.fc1.bias")
+            _set_checked(blk["mlp_fc2"], "kernel", _lin(sd[f"{prefix}.mlp.fc2.weight"]),
+                         f"{prefix}.mlp.fc2.weight")
+            _set_checked(blk["mlp_fc2"], "bias", sd[f"{prefix}.mlp.fc2.bias"],
+                         f"{prefix}.mlp.fc2.bias")
+            _set_checked(blk, "gamma", sd[f"{prefix}.gamma"], f"{prefix}.gamma")
+    return params
+
+
 def load_ported_unet_encoder(npz_path: str, flax_params: Dict,
                              flax_batch_stats: Dict) -> tuple:
-    """Port a torchvision resnet34/resnet50 or timm efficientnet_b0 dump into
-    the ``encoder`` subtree of a
-    :class:`~smilify_tpu.models.backbones.UNetResNet` variable tree; the skip
-    decoder stays at its fresh init (the reference's timm-encoder UNets are
-    exactly this: pretrained encoder + random decoder,
+    """Port a torchvision resnet34/resnet50 or timm efficientnet_b0/b3/b5 /
+    mobilenetv3_large_100 / convnext_base dump into the ``encoder`` subtree
+    of a :class:`~smilify_tpu.models.backbones.UNetResNet` variable tree; the
+    skip decoder stays at its fresh init (the reference's timm-encoder UNets
+    are exactly this: pretrained encoder + random decoder,
     ``backbone_factory.py:319-514``). The encoder family is auto-detected from
     the dump's key names. Returns (params, batch_stats)."""
     sd_keys = np.load(npz_path).files
     params = dict(flax_params)
     stats = dict(flax_batch_stats)
-    if "conv_stem.weight" in sd_keys:  # timm efficientnet
+    if "stem.0.weight" in sd_keys:  # timm convnext (LayerNorm-only: no stats)
+        params["encoder"] = load_ported_convnext(npz_path, flax_params["encoder"])
+    elif "conv_stem.weight" in sd_keys:  # timm efficientnet / mobilenetv3
         params["encoder"] = load_ported_efficientnet(npz_path, flax_params["encoder"])
         stats["encoder"] = port_efficientnet_batch_stats(npz_path, flax_batch_stats["encoder"])
     else:
@@ -258,7 +345,8 @@ def load_pretrained_into_variables(npz_path: str, backbone_name: str,
         params = dict(params)
         params[key] = load_ported_vit(npz_path, params[key])
     elif backbone_name in ("unet_resnet34", "unet_resnet50", "unet_efficientnet_b0",
-                           "unet_efficientnet_b3", "unet_efficientnet_b5"):
+                           "unet_efficientnet_b3", "unet_efficientnet_b5",
+                           "unet_convnext_base", "unet_mobilenet_v3"):
         params, batch_stats = dict(params), dict(batch_stats)
         params[key], batch_stats[key] = load_ported_unet_encoder(
             npz_path, params[key], batch_stats[key]
@@ -267,8 +355,9 @@ def load_pretrained_into_variables(npz_path: str, backbone_name: str,
         raise ValueError(
             f"no torch weight source exists for backbone '{backbone_name}' — "
             "the hand-rolled UNet variants (unet_small/unet_micro) train from "
-            "scratch; unet_resnet34/unet_resnet50/unet_efficientnet_b0 take "
-            "torchvision resnet34/resnet50 or timm efficientnet_b0 dumps"
+            "scratch; the unet_* ported-encoder variants take torchvision "
+            "resnet34/resnet50 or timm efficientnet_b0/b3/b5 / "
+            "mobilenetv3_large_100 / convnext_base dumps"
         )
     return params, batch_stats
 

@@ -426,11 +426,23 @@ def export_animation_gltf(
         {"name": "SMIL_Mesh", "mesh": 0, "skin": 0},
     ]
     for i in range(J):
+        # Rest-pose TRS on every joint node: consumers that never sample the
+        # animation (static viewers, bind-pose extraction) must still see the
+        # skeleton posed — without this the joints sit at identity and the
+        # skin matrices collapse to T(-J). Animation channels override these
+        # during playback.
         node: Dict = {"name": joint_names[i]}
         if mode == "hierarchy":
+            rest_t = node_tr[0, i] if i == 0 else rest_local[i]
+            node["translation"] = [float(v) for v in rest_t]
             kids = [int(first_joint + c) for c in np.nonzero(parents == i)[0] if c != 0]
             if kids:
                 node["children"] = kids
+        else:
+            node["translation"] = [float(v) for v in node_tr[0, i]]
+            node["rotation"] = [float(v) for v in node_rot[0, i]]
+            if node_scale is not None:
+                node["scale"] = [float(v) for v in node_scale[0, i]]
         nodes.append(node)
     if mode == "flat":
         nodes[0]["children"] = [1] + joint_nodes
@@ -470,7 +482,11 @@ def export_animation_gltf(
             tgt = shapedirs[k].reshape(-1, 3).astype(np.float32)
             targets.append({"POSITION": b.add(tgt, "VEC3", target=34962, minmax=True)})
         primitive["targets"] = targets
-        mesh["weights"] = [float(v) for v in betas_avg]
+        # mesh.weights length must equal the morph-target count; pad like the
+        # animated weights-per-frame channel below.
+        mesh["weights"] = [float(v) for v in betas_avg] + [0.0] * (
+            n_betas_model - len(betas_avg)
+        )
         wpf = np.zeros((F, n_betas_model), np.float32)
         wpf[:, : betas_pf.shape[1]] = betas_pf[:, :n_betas_model]
         channel(1, "weights", b.add(wpf.reshape(-1), "SCALAR"))
@@ -489,7 +505,10 @@ def export_animation_gltf(
                 "name": "SMIL_Skeleton",
                 "joints": joint_nodes,
                 "inverseBindMatrices": ibm_acc,
-                "skeleton": first_joint,
+                # glTF 2.0 requires `skeleton` to be a common root of the
+                # joints; in flat mode the joints are siblings, so the shared
+                # scene root (node 0) is the only valid choice.
+                "skeleton": first_joint if mode == "hierarchy" else 0,
             }
         ],
         "materials": [

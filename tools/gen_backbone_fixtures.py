@@ -206,7 +206,15 @@ class ViTB16(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# timm-compatible efficientnet_b0 (names: conv_stem/bn1/blocks.{s}.{b}.*)
+# timm-compatible efficientnet_b0/b3/b5 (names: conv_stem/bn1/blocks.{s}.{b}.*)
+#
+# CAVEAT: these replicas are hand-rolled from the published architecture
+# tables, so the parity fixtures are self-referential — they prove the
+# torch->flax converter, not agreement with real timm (e.g. SE
+# reduced-channel rounding on the b3/b5 scaled widths could diverge).
+# load_ported_efficientnet shape-checks every assignment so a real timm dump
+# that disagrees fails loudly; a one-time spot check against a real timm
+# state dict on a connected machine is still owed (see weight_port.py).
 # ---------------------------------------------------------------------------
 
 
@@ -330,6 +338,198 @@ class EfficientNetB0(nn.Module):
                 nn.init.kaiming_normal_(m.weight, mode="fan_out", nonlinearity="relu")
 
 
+# ---------------------------------------------------------------------------
+# timm-compatible mobilenetv3_large_100 (names: conv_stem/bn1/blocks.{s}.{b}.*;
+# same generic-builder layouts as effnet plus ConvBnAct (conv/bn1), per-block
+# relu/hard-swish activation, and SE with ReLU + hard-sigmoid gate). Same
+# self-referential caveat as the effnet replicas above.
+# ---------------------------------------------------------------------------
+
+# must match smilify_tpu.models.backbones.MOBILENETV3_LARGE_STAGES:
+# (kind, kernel, stride, mid_ch, out_ch, act, se_ch)
+MNV3_LARGE_STAGES = (
+    (("ds", 3, 1, 16, 16, "relu", 0),),
+    (("ir", 3, 2, 64, 24, "relu", 0),
+     ("ir", 3, 1, 72, 24, "relu", 0)),
+    (("ir", 5, 2, 72, 40, "relu", 24),
+     ("ir", 5, 1, 120, 40, "relu", 32),
+     ("ir", 5, 1, 120, 40, "relu", 32)),
+    (("ir", 3, 2, 240, 80, "hswish", 0),
+     ("ir", 3, 1, 200, 80, "hswish", 0),
+     ("ir", 3, 1, 184, 80, "hswish", 0),
+     ("ir", 3, 1, 184, 80, "hswish", 0)),
+    (("ir", 3, 1, 480, 112, "hswish", 120),
+     ("ir", 3, 1, 672, 112, "hswish", 168)),
+    (("ir", 5, 2, 672, 160, "hswish", 168),
+     ("ir", 5, 1, 960, 160, "hswish", 240),
+     ("ir", 5, 1, 960, 160, "hswish", 240)),
+    (("cn", 1, 1, 0, 960, "hswish", 0),),
+)
+MNV3_FEATURE_STAGES = (0, 1, 2, 4, 6)
+
+_TORCH_ACTS = {"relu": torch.nn.functional.relu,
+               "hswish": torch.nn.functional.hardswish}
+
+
+class MNV3SqueezeExcite(nn.Module):
+    """mnv3 SE: ReLU between convs, hard-sigmoid gate."""
+
+    def __init__(self, chs, reduced):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(chs, reduced, 1, bias=True)
+        self.conv_expand = nn.Conv2d(reduced, chs, 1, bias=True)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(torch.nn.functional.relu(self.conv_reduce(s)))
+        return x * torch.nn.functional.hardsigmoid(s)
+
+
+class MNV3Block(nn.Module):
+    def __init__(self, in_chs, kind, k, stride, mid, out_chs, act, se_ch):
+        super().__init__()
+        self.kind, self.act = kind, _TORCH_ACTS[act]
+        if kind == "cn":
+            self.conv = nn.Conv2d(in_chs, out_chs, k, stride=stride,
+                                  padding=k // 2, bias=False)
+            self.bn1 = nn.BatchNorm2d(out_chs)
+        elif kind == "ds":
+            self.conv_dw = nn.Conv2d(in_chs, in_chs, k, stride=stride,
+                                     padding=k // 2, groups=in_chs, bias=False)
+            self.bn1 = nn.BatchNorm2d(in_chs)
+            if se_ch:
+                self.se = MNV3SqueezeExcite(in_chs, se_ch)
+            self.conv_pw = nn.Conv2d(in_chs, out_chs, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(out_chs)
+        else:  # ir
+            self.conv_pw = nn.Conv2d(in_chs, mid, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(mid)
+            self.conv_dw = nn.Conv2d(mid, mid, k, stride=stride,
+                                     padding=k // 2, groups=mid, bias=False)
+            self.bn2 = nn.BatchNorm2d(mid)
+            if se_ch:
+                self.se = MNV3SqueezeExcite(mid, se_ch)
+            self.conv_pwl = nn.Conv2d(mid, out_chs, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(out_chs)
+        self.has_residual = kind != "cn" and stride == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        if self.kind == "cn":
+            return self.act(self.bn1(self.conv(x)))
+        if self.kind == "ds":
+            y = self.act(self.bn1(self.conv_dw(x)))
+            if hasattr(self, "se"):
+                y = self.se(y)
+            y = self.bn2(self.conv_pw(y))
+        else:
+            y = self.act(self.bn1(self.conv_pw(x)))
+            y = self.act(self.bn2(self.conv_dw(y)))
+            if hasattr(self, "se"):
+                y = self.se(y)
+            y = self.bn3(self.conv_pwl(y))
+        return y + x if self.has_residual else y
+
+
+class MobileNetV3Large(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv_stem = nn.Conv2d(3, 16, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(16)
+        blocks = []
+        in_chs = 16
+        for stage in MNV3_LARGE_STAGES:
+            mods = []
+            for (kind, k, stride, mid, out_chs, act, se_ch) in stage:
+                mods.append(MNV3Block(in_chs, kind, k, stride, mid, out_chs, act, se_ch))
+                in_chs = out_chs
+            blocks.append(nn.Sequential(*mods))
+        self.blocks = nn.Sequential(*blocks)
+
+    def forward_stages(self, x):
+        x = torch.nn.functional.hardswish(self.bn1(self.conv_stem(x)))
+        feats = []
+        for s, stage in enumerate(self.blocks):
+            x = stage(x)
+            if s in MNV3_FEATURE_STAGES:
+                feats.append(x)
+        return feats
+
+    def init_like_torchvision(self):
+        for m in self.modules():
+            if isinstance(m, nn.Conv2d):
+                nn.init.kaiming_normal_(m.weight, mode="fan_out", nonlinearity="relu")
+
+
+# ---------------------------------------------------------------------------
+# timm-compatible convnext_base (names: stem.{0,1},
+# stages.{s}.downsample.{0,1}, stages.{s}.blocks.{b}.{conv_dw,norm,
+# mlp.fc1,mlp.fc2,gamma}); channels-last LayerNorm eps 1e-6, exact GELU,
+# layer-scale gamma. Same self-referential caveat as above.
+# ---------------------------------------------------------------------------
+
+CONVNEXT_BASE_DEPTHS = (3, 3, 27, 3)
+CONVNEXT_BASE_DIMS = (128, 256, 512, 1024)
+
+
+class ConvNeXtBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim, bias=True)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Sequential()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(torch.full((dim,), 1e-6))
+
+    def forward(self, x):
+        y = self.conv_dw(x).permute(0, 2, 3, 1)          # NCHW → NHWC
+        y = self.norm(y)
+        y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(y)))
+        y = (self.gamma * y).permute(0, 3, 1, 2)
+        return x + y
+
+
+class ConvNeXtBase(nn.Module):
+    def __init__(self, depths=CONVNEXT_BASE_DEPTHS, dims=CONVNEXT_BASE_DIMS):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, dims[0], 4, stride=4, bias=True),
+            nn.LayerNorm(dims[0], eps=1e-6),             # applied channels-last
+        )
+        stages = []
+        for s, (depth, dim) in enumerate(zip(depths, dims)):
+            stage = nn.Module()
+            if s > 0:
+                stage.downsample = nn.Sequential(
+                    nn.LayerNorm(dims[s - 1], eps=1e-6),
+                    nn.Conv2d(dims[s - 1], dim, 2, stride=2, bias=True),
+                )
+            stage.blocks = nn.Sequential(*[ConvNeXtBlock(dim) for _ in range(depth)])
+            stages.append(stage)
+        self.stages = nn.Sequential(*stages)
+
+    @staticmethod
+    def _ln(norm, x):  # channels-last LayerNorm on an NCHW tensor
+        return norm(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+
+    def forward_stages(self, x):
+        x = self._ln(self.stem[1], self.stem[0](x))
+        feats = []
+        for s, stage in enumerate(self.stages):
+            if s > 0:
+                x = stage.downsample[1](self._ln(stage.downsample[0], x))
+            x = stage.blocks(x)
+            feats.append(x)
+        return feats
+
+    def init_like_torchvision(self):
+        for m in self.modules():
+            if isinstance(m, nn.Conv2d):
+                nn.init.kaiming_normal_(m.weight, mode="fan_out", nonlinearity="relu")
+            elif isinstance(m, nn.Linear):
+                nn.init.normal_(m.weight, std=0.02)
+
+
 def main():
     arch, out = sys.argv[1], sys.argv[2]
     torch.manual_seed(0)
@@ -340,6 +540,7 @@ def main():
     xn = (x - mean) / std
 
     resnets = {"resnet50": ((3, 4, 6, 3), Bottleneck),
+               "resnet101": ((3, 4, 23, 3), Bottleneck),
                "resnet152": ((3, 8, 36, 3), Bottleneck)}
     vits = {"vit_base": dict(depth=12, dim=768, heads=12),
             "vit_large": dict(depth=24, dim=1024, heads=16)}
@@ -366,6 +567,26 @@ def main():
                 if isinstance(m, nn.BatchNorm2d):
                     m.running_mean.normal_(0.0, 0.05)
                     m.running_var.uniform_(0.8, 1.2)
+        with torch.no_grad():
+            stages = model.forward_stages(xn)
+        extra = {f"__stage{i}__": s.numpy().transpose(0, 2, 3, 1)
+                 for i, s in enumerate(stages)}
+    elif arch == "mobilenetv3_encoder":
+        model = MobileNetV3Large()
+        model.init_like_torchvision()
+        model = model.eval()
+        with torch.no_grad():
+            for m in model.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.normal_(0.0, 0.05)
+                    m.running_var.uniform_(0.8, 1.2)
+            stages = model.forward_stages(xn)
+        extra = {f"__stage{i}__": s.numpy().transpose(0, 2, 3, 1)
+                 for i, s in enumerate(stages)}
+    elif arch == "convnext_encoder":
+        model = ConvNeXtBase()
+        model.init_like_torchvision()
+        model = model.eval()
         with torch.no_grad():
             stages = model.forward_stages(xn)
         extra = {f"__stage{i}__": s.numpy().transpose(0, 2, 3, 1)
