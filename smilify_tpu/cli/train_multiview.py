@@ -123,9 +123,13 @@ def main(argv=None):
 
     model = MultiViewSMILRegressor(rcfg)
     rng = jax.random.PRNGKey(cfg.training.seed)
-    variables = model.init(
+    # jitted init: eager init dispatches every op individually — minutes over
+    # the tunneled transport vs seconds compiled
+    t_init = time.time()
+    variables = jax.jit(model.init)(
         rng, jnp.zeros((1, V, res, res, 3)), jnp.ones((1, V), bool), jnp.zeros((1, V), jnp.int32)
     )
+    print(f"model initialized ({time.time() - t_init:.0f}s)")
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
@@ -169,6 +173,20 @@ def main(argv=None):
     )
     current = {"key": None, "step_fn": None, "tx": None}
 
+    device_cache = val_cache = None
+    if cfg.training.device_data_cache:
+        if multihost_run or cfg.augmentation.enabled:
+            print("device_data_cache disabled: needs a single-process mesh and "
+                  "augmentation off — falling back to the host pipeline")
+        else:
+            from smilify_tpu.train.trainer import DeviceDataCache
+
+            device_cache = DeviceDataCache(train_ds, mesh)
+            if len(val_ds) >= bs:
+                val_cache = DeviceDataCache(val_ds, mesh)
+            print(f"device data cache: {len(train_ds)} train samples, "
+                  f"{device_cache.bytes / 1e6:.0f} MB resident in HBM")
+
     def make_loss(weights):
         return make_multiview_loss_fn(spec, rcfg, weights, (H, W),
                                       joint_importance=joint_importance,
@@ -200,18 +218,25 @@ def main(argv=None):
 
         losses = []
         skipped = 0
-        for batch in iterate_batches(train_ds, bs, host_rng, fraction=cfg.dataset.dataset_fraction,
-                                     collate=staging,
-                                     num_workers=cfg.training.num_workers,
-                                     prefetch=cfg.training.prefetch_factor,
-                                     worker_mode=cfg.training.worker_mode,
-                                     skip_errors=True):
+        if device_cache is not None:
+            batch_iter = device_cache.iterate(bs, host_rng,
+                                              fraction=cfg.dataset.dataset_fraction)
+        else:
+            batch_iter = iterate_batches(train_ds, bs, host_rng,
+                                         fraction=cfg.dataset.dataset_fraction,
+                                         collate=staging,
+                                         num_workers=cfg.training.num_workers,
+                                         prefetch=cfg.training.prefetch_factor,
+                                         worker_mode=cfg.training.worker_mode,
+                                         skip_errors=True)
+        for batch in batch_iter:
             # per-batch resilience: one bad sample (corrupt JPEG, NaN labels)
             # must not kill a long run (reference train_multiview_regressor.py:606)
             try:
-                host_batch = batch
-                batch = shard_batch(mesh, batch)
-                staging.guard(host_batch, batch)  # slot reuse waits for the transfer
+                if device_cache is None:
+                    host_batch = batch
+                    batch = shard_batch(mesh, batch)
+                    staging.guard(host_batch, batch)  # slot reuse waits for the transfer
                 state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
                     state.params, state.batch_stats, state.opt_state, batch
                 )
@@ -240,11 +265,16 @@ def main(argv=None):
 
         if len(val_ds) >= bs:
             val_losses = []
-            for vb in iterate_batches(val_ds, bs, host_rng, shuffle=False, fraction=1.0,
-                                          collate=staging):
-                host_vb = vb
-                vb = shard_batch(mesh, vb)
-                staging.guard(host_vb, vb)
+            if val_cache is not None:
+                val_iter = val_cache.iterate(bs, host_rng, shuffle=False)
+            else:
+                val_iter = iterate_batches(val_ds, bs, host_rng, shuffle=False,
+                                           fraction=1.0, collate=staging)
+            for vb in val_iter:
+                if val_cache is None:
+                    host_vb = vb
+                    vb = shard_batch(mesh, vb)
+                    staging.guard(host_vb, vb)
                 vloss, _ = current["eval_fn"](state.params, state.batch_stats, vb)
                 val_losses.append(float(vloss))
             if val_losses:

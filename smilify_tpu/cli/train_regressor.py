@@ -168,7 +168,11 @@ def main(argv=None):
     model = SMILRegressor(rcfg)
     rng = jax.random.PRNGKey(cfg.training.seed)
     sample_imgs = jnp.zeros((2, res, res, 3))
-    variables = model.init(rng, sample_imgs)
+    # jitted init: eager init dispatches every op individually — minutes over
+    # the tunneled transport vs seconds compiled
+    t_init = time.time()
+    variables = jax.jit(model.init)(rng, sample_imgs)
+    print(f"model initialized ({time.time() - t_init:.0f}s)")
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
@@ -220,6 +224,20 @@ def main(argv=None):
     # persistent staging buffers: avoids the tunneled-TPU per-batch
     # alloc/free pinning penalty (see StagingCollator)
     staging = StagingCollator()
+
+    device_cache = val_cache = None
+    if cfg.training.device_data_cache:
+        if multihost_run or cfg.augmentation.enabled:
+            print("device_data_cache disabled: needs a single-process mesh and "
+                  "augmentation off — falling back to the host pipeline")
+        else:
+            from smilify_tpu.train.trainer import DeviceDataCache
+
+            device_cache = DeviceDataCache(train_ds, mesh)
+            if len(val_ds) >= bs:
+                val_cache = DeviceDataCache(val_ds, mesh)
+            print(f"device data cache: {len(train_ds)} train samples, "
+                  f"{device_cache.bytes / 1e6:.0f} MB resident in HBM")
     state = TrainState(params=replicate(mesh, params), batch_stats=replicate(mesh, batch_stats),
                        opt_state=None)
     state, start_epoch = try_resume(
@@ -289,18 +307,24 @@ def main(argv=None):
 
         epoch_losses = []
         skipped = 0
-        for batch in iterate_batches(train_ds, bs, host_rng,
-                                     fraction=cfg.dataset.dataset_fraction,
-                                     collate=staging,
-                                     num_workers=cfg.training.num_workers,
-                                     prefetch=cfg.training.prefetch_factor,
-                                     worker_mode=cfg.training.worker_mode,
-                                     skip_errors=True):
+        if device_cache is not None:
+            batch_iter = device_cache.iterate(bs, host_rng,
+                                              fraction=cfg.dataset.dataset_fraction)
+        else:
+            batch_iter = iterate_batches(train_ds, bs, host_rng,
+                                         fraction=cfg.dataset.dataset_fraction,
+                                         collate=staging,
+                                         num_workers=cfg.training.num_workers,
+                                         prefetch=cfg.training.prefetch_factor,
+                                         worker_mode=cfg.training.worker_mode,
+                                         skip_errors=True)
+        for batch in batch_iter:
             # per-batch resilience (reference train_multiview_regressor.py:606)
             try:
-                host_batch = batch
-                batch = shard_batch(mesh, batch)
-                staging.guard(host_batch, batch)  # slot reuse waits for the transfer
+                if device_cache is None:
+                    host_batch = batch
+                    batch = shard_batch(mesh, batch)
+                    staging.guard(host_batch, batch)  # slot reuse waits for the transfer
                 state.params, state.batch_stats, state.opt_state, loss, objs = current["step_fn"](
                     state.params, state.batch_stats, state.opt_state, batch
                 )
@@ -330,11 +354,16 @@ def main(argv=None):
 
         if len(val_ds) >= bs:
             val_losses = []
-            for vb in iterate_batches(val_ds, bs, host_rng, shuffle=False, fraction=1.0,
-                                          collate=staging):
-                host_vb = vb
-                vb = shard_batch(mesh, vb)
-                staging.guard(host_vb, vb)
+            if val_cache is not None:
+                val_iter = val_cache.iterate(bs, host_rng, shuffle=False)
+            else:
+                val_iter = iterate_batches(val_ds, bs, host_rng, shuffle=False,
+                                           fraction=1.0, collate=staging)
+            for vb in val_iter:
+                if val_cache is None:
+                    host_vb = vb
+                    vb = shard_batch(mesh, vb)
+                    staging.guard(host_vb, vb)
                 vloss, _ = current["eval_fn"](state.params, state.batch_stats, vb)
                 val_losses.append(float(vloss))
             if val_losses:

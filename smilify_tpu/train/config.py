@@ -215,6 +215,10 @@ class TrainingHyperparameters:
     # (bounded by cache_max_bytes; augmentation stays outside the cache)
     cache_decoded_samples: bool = False
     cache_max_bytes: int = 2 << 30
+    # stage the ENTIRE dataset in device HBM once and assemble batches as
+    # device-side gathers (DeviceDataCache) — removes the per-step host wire
+    # cost on the tunneled chip. Single-process meshes, augmentation off.
+    device_data_cache: bool = False
     resume_checkpoint: Optional[str] = None
     reset_ief_token_embedding: bool = False
     use_gt_camera_init: bool = True

@@ -417,6 +417,74 @@ class StagingCollator:
         return bufs
 
 
+class DeviceDataCache:
+    """Entire (small) dataset resident in device HBM; per-step batches are
+    device-side gathers driven by tiny host index arrays.
+
+    The tunneled single-chip setup streams host→device at ~10 MB/s, so a
+    96²-image batch costs ~0.4-1 s of wire time per step — 10-50× the step's
+    compute. For datasets that fit in HBM (the synthetic generalization sets
+    are 40-80 MB as uint8), the TPU-idiomatic fix is to ship the whole
+    dataset ONCE and assemble batches on device: images are stored uint8
+    (lossless for JPEG-decoded data) and converted to float in the gather
+    jit, so per-step host traffic is a batch-size int32 index array.
+
+    Columns are replicated over the mesh (``P()``); the gather jit emits the
+    batch sharded along the data axis (``P('data', …)``), so the cache
+    composes with the same pjit train step as the host pipeline on any
+    single-process mesh. Multi-host runs and on-the-fly augmentation need
+    the host pipeline — callers gate on both (cli/train_regressor.py).
+    """
+
+    def __init__(self, dataset, mesh: Mesh, image_keys=("image", "images")):
+        cols = {}
+        first = dataset[0]
+        keys = [k for k, v in first.items()
+                if isinstance(v, (np.ndarray, int, float, np.generic))
+                and np.asarray(v).dtype.kind in "fiub"]
+        stacked = {k: [] for k in keys}
+        for i in range(len(dataset)):
+            s = dataset[i]
+            for k in keys:
+                stacked[k].append(np.asarray(s[k]))
+        for k in keys:
+            arr = np.stack(stacked[k])
+            if k in image_keys and arr.dtype == np.float32:
+                arr = np.round(arr * 255.0).astype(np.uint8)
+            cols[k] = arr
+        self.n = len(dataset)
+        self.bytes = sum(a.nbytes for a in cols.values())
+        self._image_keys = tuple(k for k in image_keys if k in cols)
+        self.arrays = {k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, P()))
+                       for k, v in cols.items()}
+
+        def gather(arrs, idx):
+            b = {k: jnp.take(v, idx, axis=0) for k, v in arrs.items()}
+            for k in self._image_keys:
+                if b[k].dtype == jnp.uint8:
+                    b[k] = b[k].astype(jnp.float32) / 255.0
+            return b
+
+        out_shardings = {
+            k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+            for k, v in cols.items()
+        }
+        self._gather = jax.jit(gather, out_shardings=out_shardings)
+
+    def batch(self, idx) -> Dict[str, jnp.ndarray]:
+        return self._gather(self.arrays, jnp.asarray(np.asarray(idx, np.int32)))
+
+    def iterate(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True, fraction: float = 1.0):
+        """Full-batch index iteration (drop_last semantics of
+        :func:`iterate_batches`)."""
+        idx = rng.permutation(self.n) if shuffle else np.arange(self.n)
+        if fraction < 1.0:
+            idx = idx[: max(1, int(self.n * fraction))]
+        for i in range(0, len(idx) - batch_size + 1, batch_size):
+            yield self.batch(idx[i : i + batch_size])
+
+
 def iterate_batches(
     dataset,
     batch_size: int,
