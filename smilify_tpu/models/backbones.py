@@ -436,14 +436,232 @@ class EfficientNetEncoder(nn.Module):
         return feats
 
 
+# ---------------------------------------------------------------------------
+# MobileNetV3-Large encoder (timm `mobilenetv3_large_100`, the reference's
+# unet_mobilenet_v3 — backbone_factory.py:337-345). Same generic-builder block
+# families as EfficientNet but with per-block activation (relu/hard-swish),
+# optional SE with hard-sigmoid gate, exact mid-channel counts, and a final
+# ConvBnAct (cn) 960-channel block.
+# ---------------------------------------------------------------------------
+
+# per-block entries: (kind, kernel, stride, mid_ch, out_ch, act, se_ch);
+# se_ch=0 → no SE. Derived from timm's mobilenetv3_large_100 arch_def
+# ('ds_r1_k3_s1_e1_c16_nre', 'ir_r1_k3_s2_e4_c24_nre', … — mid channels are
+# make_divisible(in*expand), SE reduced = round_channels(mid*0.25, 8) with
+# relu act + hard-sigmoid gate). Stage grouping mirrors timm's blocks.{s}.{b}.
+MOBILENETV3_LARGE_STAGES = (
+    # stage 0 (/2 feature)
+    (("ds", 3, 1, 16, 16, "relu", 0),),
+    # stage 1 (/4 feature)
+    (("ir", 3, 2, 64, 24, "relu", 0),
+     ("ir", 3, 1, 72, 24, "relu", 0)),
+    # stage 2 (/8 feature)
+    (("ir", 5, 2, 72, 40, "relu", 24),
+     ("ir", 5, 1, 120, 40, "relu", 32),
+     ("ir", 5, 1, 120, 40, "relu", 32)),
+    # stage 3
+    (("ir", 3, 2, 240, 80, "hswish", 0),
+     ("ir", 3, 1, 200, 80, "hswish", 0),
+     ("ir", 3, 1, 184, 80, "hswish", 0),
+     ("ir", 3, 1, 184, 80, "hswish", 0)),
+    # stage 4 (/16 feature)
+    (("ir", 3, 1, 480, 112, "hswish", 120),
+     ("ir", 3, 1, 672, 112, "hswish", 168)),
+    # stage 5
+    (("ir", 5, 2, 672, 160, "hswish", 168),
+     ("ir", 5, 1, 960, 160, "hswish", 240),
+     ("ir", 5, 1, 960, 160, "hswish", 240)),
+    # stage 6 (/32 feature)
+    (("cn", 1, 1, 0, 960, "hswish", 0),),
+)
+_MNV3_FEATURE_STAGES = (0, 1, 2, 4, 6)
+MOBILENETV3_FEATURE_DIM = 960
+
+
+def _act(name: str):
+    import jax
+
+    return {"silu": nn.silu, "relu": nn.relu, "hswish": jax.nn.hard_swish}[name]
+
+
+class _MNV3SqueezeExcite(nn.Module):
+    """mobilenetv3 SE: GAP → conv_reduce → ReLU → conv_expand → hard-sigmoid
+    gate (timm forces ReLU + hard_sigmoid for mnv3, vs SiLU + sigmoid for
+    efficientnet)."""
+
+    reduced: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, name="conv_reduce")(s)
+        s = nn.relu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="conv_expand")(s)
+        return x * jax.nn.hard_sigmoid(s)
+
+
+class _MNV3Block(nn.Module):
+    """One mobilenetv3 block in timm's generic-builder layouts:
+    ds (conv_dw/bn1[/se]/conv_pw/bn2), ir (conv_pw/bn1/conv_dw/bn2[/se]/
+    conv_pwl/bn3), cn (conv/bn1)."""
+
+    kind: str
+    kernel: int
+    stride: int
+    mid_ch: int
+    out_ch: int
+    act: str
+    se_ch: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = _act(self.act)
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, dtype=self.dtype, name=name)
+        C = x.shape[-1]
+        if self.kind == "cn":
+            y = nn.Conv(self.out_ch, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride), padding=self.kernel // 2,
+                        use_bias=False, dtype=self.dtype, name="conv")(x)
+            return act(bn("bn1")(y))
+        if self.kind == "ds":
+            y = nn.Conv(C, (self.kernel, self.kernel), strides=(self.stride, self.stride),
+                        padding=self.kernel // 2, feature_group_count=C, use_bias=False,
+                        dtype=self.dtype, name="conv_dw")(x)
+            y = act(bn("bn1")(y))
+            if self.se_ch:
+                y = _MNV3SqueezeExcite(self.se_ch, dtype=self.dtype, name="se")(y)
+            y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv_pw")(y)
+            y = bn("bn2")(y)
+            if self.stride == 1 and self.out_ch == C:
+                y = y + x
+            return y
+        # ir
+        y = nn.Conv(self.mid_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pw")(x)
+        y = act(bn("bn1")(y))
+        y = nn.Conv(self.mid_ch, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding=self.kernel // 2,
+                    feature_group_count=self.mid_ch, use_bias=False, dtype=self.dtype,
+                    name="conv_dw")(y)
+        y = act(bn("bn2")(y))
+        if self.se_ch:
+            y = _MNV3SqueezeExcite(self.se_ch, dtype=self.dtype, name="se")(y)
+        y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv_pwl")(y)
+        y = bn("bn3")(y)
+        if self.stride == 1 and self.out_ch == C:
+            y = y + x
+        return y
+
+
+class MobileNetV3Encoder(nn.Module):
+    """timm mobilenetv3_large_100 trunk exposing the five UNet skip stages —
+    channels (16,/2) (24,/4) (40,/8) (112,/16) (960,/32), the
+    ``features_only=True`` pyramid the reference's UNetBackbone consumes
+    (``backbone_factory.py:337-345``). Weights port via
+    ``weight_port.load_ported_efficientnet`` (same timm generic-builder
+    naming: conv_stem/bn1/blocks.{s}.{b})."""
+
+    stages: tuple = MOBILENETV3_LARGE_STAGES
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        import jax
+
+        x = nn.Conv(16, (3, 3), strides=(2, 2), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv_stem")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="bn1")(x)
+        x = jax.nn.hard_swish(x)
+        feats = []
+        for s, stage in enumerate(self.stages):
+            for b, (kind, kernel, stride, mid, out_ch, act, se_ch) in enumerate(stage):
+                x = _MNV3Block(kind, kernel, stride, mid, out_ch, act, se_ch,
+                               dtype=self.dtype, name=f"blocks_{s}_{b}")(x, train=train)
+            if s in _MNV3_FEATURE_STAGES:
+                feats.append(x)
+        return feats
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt-Base encoder (timm `convnext_base`, the reference's
+# unet_convnext_base — backbone_factory.py:337-345). A different block family
+# entirely: 7×7 depthwise conv + channels-last LayerNorm(1e-6) + pointwise
+# MLP with GELU + layer-scale gamma; patchify stem; LN+2×2-conv downsampling.
+# features_only yields FOUR maps (strides 4/8/16/32 — no stride-2 stage), so
+# the UNet decoder runs three decode steps against three skips.
+# ---------------------------------------------------------------------------
+
+CONVNEXT_BASE_DEPTHS = (3, 3, 27, 3)
+CONVNEXT_BASE_DIMS = (128, 256, 512, 1024)
+CONVNEXT_FEATURE_DIM = CONVNEXT_BASE_DIMS[-1]
+
+
+class _ConvNeXtBlock(nn.Module):
+    """timm ConvNeXtBlock: conv_dw 7×7 (bias) → LN(1e-6) → mlp.fc1 (4×) →
+    GELU → mlp.fc2 → ×gamma → +residual. All channels-last; no BatchNorm."""
+
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                    dtype=self.dtype, name="conv_dw")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,))
+        return x + gamma.astype(y.dtype) * y
+
+
+class ConvNeXtEncoder(nn.Module):
+    """timm convnext_base trunk exposing the four feature stages
+    (128,/4) (256,/8) (512,/16) (1024,/32). LayerNorm-only (no batch_stats
+    collection). Weights port via ``weight_port.load_ported_convnext``
+    (submodule names mirror timm's stem.{0,1} / stages.{s}.downsample.{0,1} /
+    stages.{s}.blocks.{b} keys)."""
+
+    depths: Sequence[int] = CONVNEXT_BASE_DEPTHS
+    dims: Sequence[int] = CONVNEXT_BASE_DIMS
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
+        feats = []
+        for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if s > 0:
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"stages_{s}_downsample_norm")(x)
+                x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
+                            name=f"stages_{s}_downsample_conv")(x)
+            for b in range(depth):
+                x = _ConvNeXtBlock(dim, dtype=self.dtype,
+                                   name=f"stages_{s}_blocks_{b}")(x)
+            feats.append(x)
+        return feats
+
+
 class UNetResNet(nn.Module):
-    """UNet with a (portable, pretrained) resnet34/resnet50/efficientnet_b0
-    encoder + skip decoder — the reference's ``unet_resnet34``/
-    ``unet_resnet50``/``unet_efficientnet_b0`` (timm encoder + skip decoder,
-    ``backbone_factory.py:319-514``), here with the encoder weight-portable
-    from torchvision/timm so ``model.pretrained_npz`` works for UNet variants
-    too. (The class name is historical — round-4 checkpoints predate the
-    non-resnet encoders.)
+    """UNet with a (portable, pretrained) encoder + skip decoder — the
+    reference's timm-encoder UNets (``backbone_factory.py:319-514``,
+    ``_ENCODER_MAP``: resnet34/resnet50, efficientnet_b0/b3/b5,
+    convnext_base, mobilenetv3_large_100), here with the encoder
+    weight-portable from torchvision/timm so ``model.pretrained_npz`` works
+    for UNet variants too. (The class name is historical — round-4
+    checkpoints predate the non-resnet encoders.)
+
+    Encoders expose 5 skip stages at strides 2..32 (4 at strides 4..32 for
+    ConvNeXt, which has no stride-2 feature); the decoder zips its widths
+    against the available skips, so it runs len(stages)-1 decode steps.
     """
 
     encoder_arch: str = "resnet34"
@@ -458,6 +676,10 @@ class UNetResNet(nn.Module):
             stem, stage_cfg, _ = EFFICIENTNET_VARIANTS[self.encoder_arch]
             stages = EfficientNetEncoder(stem_ch=stem, stages=stage_cfg,
                                          dtype=self.dtype, name="encoder")(x, train=train)
+        elif self.encoder_arch == "convnext_base":
+            stages = ConvNeXtEncoder(dtype=self.dtype, name="encoder")(x, train=train)
+        elif self.encoder_arch == "mobilenetv3_large_100":
+            stages = MobileNetV3Encoder(dtype=self.dtype, name="encoder")(x, train=train)
         else:
             block = "bottleneck" if self.encoder_arch == "resnet50" else "basic"
             stages = ResNetEncoder(block=block, dtype=self.dtype, name="encoder")(x, train=train)
@@ -502,7 +724,18 @@ BACKBONES: dict = {
     "unet_efficientnet_b0": lambda dtype=jnp.bfloat16: (UNetResNet(encoder_arch="efficientnet_b0", dtype=dtype), 320),
     "unet_efficientnet_b3": lambda dtype=jnp.bfloat16: (UNetResNet(encoder_arch="efficientnet_b3", dtype=dtype), 384),
     "unet_efficientnet_b5": lambda dtype=jnp.bfloat16: (UNetResNet(encoder_arch="efficientnet_b5", dtype=dtype), 512),
+    # convnext has no stride-2 stage: 4-level pyramid, 3 decode steps
+    "unet_convnext_base": lambda dtype=jnp.bfloat16: (
+        UNetResNet(encoder_arch="convnext_base", decoder_widths=(256, 128, 64),
+                   dtype=dtype), CONVNEXT_FEATURE_DIM),
+    "unet_mobilenet_v3": lambda dtype=jnp.bfloat16: (
+        UNetResNet(encoder_arch="mobilenetv3_large_100", dtype=dtype),
+        MOBILENETV3_FEATURE_DIM),
     "unet_small": lambda dtype=jnp.bfloat16: (UNet(widths=(32, 64, 128, 256), out_dim=256, dtype=dtype), 256),
+    # 2× unet_small width: the from-scratch capacity point between unet_small
+    # and the ported-encoder UNets (train-fit ceiling at unet_small measured
+    # in the round-5 generalization runs — benchmarks/gen_r5/)
+    "unet_mid": lambda dtype=jnp.bfloat16: (UNet(widths=(64, 128, 256, 512), out_dim=512, dtype=dtype), 512),
     # micro variant for CI / SPMD-invariance tests: same architecture shape,
     # minimal channel counts so CPU XLA compiles in seconds
     "unet_micro": lambda dtype=jnp.bfloat16: (UNet(widths=(8, 16, 32), out_dim=32, dtype=dtype), 32),

@@ -85,21 +85,23 @@ def test_frozen_random_backbone_refused():
 
 
 @pytest.mark.slow
-def test_resnet152_port_parity(fixture_dir):
-    """The deepest reference ResNet goes through the same generic converter —
-    proven, not assumed (reference backbone_factory.py:500-514)."""
+@pytest.mark.parametrize("arch,sizes", [("resnet101", [3, 4, 23, 3]),
+                                        ("resnet152", [3, 8, 36, 3])])
+def test_deep_resnet_port_parity(fixture_dir, arch, sizes):
+    """The deeper reference ResNets (101/152, backbone_factory.py:500-514) go
+    through the same generic converter — proven per variant, not assumed."""
     import jax
     import jax.numpy as jnp
 
     from smilify_tpu.models.backbones import ResNet
     from smilify_tpu.models.weight_port import load_ported_resnet, port_resnet_batch_stats
 
-    npz = fixture_dir / "resnet152.npz"
-    _gen("resnet152", npz)
+    npz = fixture_dir / f"{arch}.npz"
+    _gen(arch, npz)
     fx = dict(np.load(npz))
 
     x = jnp.asarray(fx["__input__"].transpose(0, 2, 3, 1))
-    model = ResNet([3, 8, 36, 3], dtype=jnp.float32)
+    model = ResNet(sizes, dtype=jnp.float32)
     variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
     params = load_ported_resnet(str(npz), variables["params"])
     stats = port_resnet_batch_stats(str(npz), variables["batch_stats"])
@@ -117,26 +119,30 @@ def test_resnet152_port_parity(fixture_dir):
 
 @pytest.mark.parametrize(
     "arch", ["resnet34_encoder", "resnet50_encoder", "efficientnet_b0_encoder",
-             "efficientnet_b3_encoder",
-             pytest.param("efficientnet_b5_encoder", marks=pytest.mark.slow)]
+             "efficientnet_b3_encoder", "mobilenetv3_encoder",
+             pytest.param("efficientnet_b5_encoder", marks=pytest.mark.slow),
+             pytest.param("convnext_encoder", marks=pytest.mark.slow)]
 )
 def test_unet_encoder_port_parity(fixture_dir, arch):
-    """The ported-encoder UNets (resnet34/resnet50/efficientnet_b0/b3) port
-    from torchvision/timm dumps and reproduce every skip-stage feature map —
-    the reference's pretrained timm-encoder UNet flow
-    (backbone_factory.py:319-514, whose _ENCODER_MAP lists them). The decoder
-    stays fresh, so parity is asserted per stage, not on the full UNet
-    forward."""
+    """The ported-encoder UNets (resnet34/resnet50, efficientnet_b0/b3/b5,
+    mobilenetv3_large_100, convnext_base — the COMPLETE 7-entry reference
+    _ENCODER_MAP, backbone_factory.py:337-345) port from torchvision/timm
+    dumps and reproduce every skip-stage feature map. The decoder stays
+    fresh, so parity is asserted per stage, not on the full UNet forward.
+    ConvNeXt yields 4 stages (no stride-2 feature); the rest yield 5."""
     import jax
     import jax.numpy as jnp
 
     from smilify_tpu.models.backbones import (
         EFFICIENTNET_VARIANTS,
+        ConvNeXtEncoder,
         EfficientNetEncoder,
+        MobileNetV3Encoder,
         ResNetEncoder,
         normalize_imagenet,
     )
     from smilify_tpu.models.weight_port import (
+        load_ported_convnext,
         load_ported_efficientnet,
         load_ported_resnet,
         port_efficientnet_batch_stats,
@@ -148,21 +154,30 @@ def test_unet_encoder_port_parity(fixture_dir, arch):
     fx = dict(np.load(npz))
 
     x = normalize_imagenet(jnp.asarray(fx["__input__"].transpose(0, 2, 3, 1)))
+    n_stages = 5
+    load_params, load_stats = load_ported_resnet, port_resnet_batch_stats
     if arch.startswith("efficientnet_"):
         stem, stage_cfg, _ = EFFICIENTNET_VARIANTS[arch[: -len("_encoder")]]
         model = EfficientNetEncoder(stem_ch=stem, stages=stage_cfg, dtype=jnp.float32)
-        load_ported_resnet = load_ported_efficientnet  # noqa: F811
-        port_resnet_batch_stats = port_efficientnet_batch_stats  # noqa: F811
+        load_params, load_stats = load_ported_efficientnet, port_efficientnet_batch_stats
+    elif arch == "mobilenetv3_encoder":
+        model = MobileNetV3Encoder(dtype=jnp.float32)
+        load_params, load_stats = load_ported_efficientnet, port_efficientnet_batch_stats
+    elif arch == "convnext_encoder":
+        model = ConvNeXtEncoder(dtype=jnp.float32)
+        load_params, load_stats, n_stages = load_ported_convnext, None, 4
     else:
         block = "basic" if arch == "resnet34_encoder" else "bottleneck"
         model = ResNetEncoder(block=block, dtype=jnp.float32)
     variables = model.init({"params": jnp.zeros(2, jnp.uint32)}, x, train=False)
-    params = load_ported_resnet(str(npz), variables["params"])
-    stats = port_resnet_batch_stats(str(npz), variables["batch_stats"])
+    params = load_params(str(npz), variables["params"])
+    apply_vars = {"params": params}
+    if load_stats is not None:
+        apply_vars["batch_stats"] = load_stats(str(npz), variables["batch_stats"])
 
     with jax.default_matmul_precision("highest"):
-        stages = model.apply({"params": params, "batch_stats": stats}, x, train=False)
-    assert len(stages) == 5
+        stages = model.apply(apply_vars, x, train=False)
+    assert len(stages) == n_stages
     for i, got in enumerate(stages):
         want = fx[f"__stage{i}__"]
         scale = max(1e-3, float(np.abs(want).max()))
@@ -175,7 +190,10 @@ def test_unet_encoder_port_parity(fixture_dir, arch):
     "backbone,arch,pooled_dim",
     [("unet_resnet34", "resnet34_encoder", 512),
      ("unet_resnet50", "resnet50_encoder", 2048),
-     ("unet_efficientnet_b0", "efficientnet_b0_encoder", 320)],
+     ("unet_efficientnet_b0", "efficientnet_b0_encoder", 320),
+     ("unet_mobilenet_v3", "mobilenetv3_encoder", 960),
+     pytest.param("unet_convnext_base", "convnext_encoder", 1024,
+                  marks=pytest.mark.slow)],
 )
 def test_unet_pretrained_npz_route(fixture_dir, backbone, arch, pooled_dim):
     """model.pretrained_npz works for the UNet variants end-to-end: the policy
@@ -201,7 +219,10 @@ def test_unet_pretrained_npz_route(fixture_dir, backbone, arch, pooled_dim):
     params, stats = load_pretrained_into_variables(
         str(npz), backbone, params, stats)
     # encoder stem really is the torch stem conv weight
-    if "conv_stem.weight" in fx:  # timm efficientnet naming
+    if "stem.0.weight" in fx:  # timm convnext naming
+        got = np.asarray(params["UNetResNet_0"]["encoder"]["stem_conv"]["kernel"])
+        want = fx["stem.0.weight"]
+    elif "conv_stem.weight" in fx:  # timm efficientnet/mobilenetv3 naming
         got = np.asarray(params["UNetResNet_0"]["encoder"]["conv_stem"]["kernel"])
         want = fx["conv_stem.weight"]
     else:
