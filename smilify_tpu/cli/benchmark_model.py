@@ -22,6 +22,14 @@ def main(argv=None):
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--max-samples", type=int, default=None)
+    ap.add_argument("--split", choices=["all", "train", "val", "test"], default="all",
+                    help="evaluate only one side of the trainer's seeded split "
+                         "(same split functions + seed + ratios reproduce the "
+                         "exact held-out indices the trainer never saw)")
+    ap.add_argument("--split-ratios", default="0.8,0.1,0.1",
+                    help="train,val,test ratios used at training time")
+    ap.add_argument("--split-seed", type=int, default=1234,
+                    help="training.seed used at training time")
     args = ap.parse_args(argv)
 
     import jax
@@ -47,6 +55,25 @@ def main(argv=None):
 
         dataset = MultiViewHDF5Dataset(args.dataset_path, return_single_view=True,
                                        expand_all_views=True)
+    if args.split != "all":
+        # reproduce the trainer's seeded split (same functions, same grouped
+        # logic for expand_all_views item indexing — cli/train_regressor.py)
+        from smilify_tpu.train.trainer import (
+            split_dataset,
+            split_dataset_grouped,
+            SubsetDataset,
+        )
+
+        ratios = tuple(float(x) for x in args.split_ratios.split(","))
+        if getattr(dataset, "item_sample_indices", None) is not None:
+            tr, va, te = split_dataset_grouped(dataset.item_sample_indices, ratios,
+                                               args.split_seed)
+        else:
+            tr, va, te = split_dataset(len(dataset), ratios, args.split_seed)
+        idx = {"train": tr, "val": va, "test": te}[args.split]
+        dataset = SubsetDataset(dataset, idx)
+        print(f"split={args.split}: {len(dataset)} samples "
+              f"(ratios {ratios}, seed {args.split_seed})")
     n = len(dataset) if args.max_samples is None else min(len(dataset), args.max_samples)
     print(f"benchmarking {n} samples ({'multi' if is_mv else 'single'}-view)")
 

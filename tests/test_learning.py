@@ -32,3 +32,29 @@ def test_multiview_learns_to_memorize(tmp_path):
     r = run("mv", epochs=600, workdir=str(tmp_path), lr=1e-3)
     assert r["loss_ok"], f"loss did not collapse: {r}"
     assert r["pck_ok"], f"PCK below target: {r}"
+
+
+def test_generalization_artifacts_gate():
+    """Round-5 regression gate for the committed held-out generalization
+    reports (benchmarks/gen_r5/): model-matched synthetic data, REAL
+    train/val/test split, benchmark run ONLY on the seeded held-out test
+    indices (cli/benchmark_model.py --split test). Reproduce with
+    tools/train_generalization.py --mode {sv,mv}. A future round that
+    regresses these numbers must either beat them or explain why in the
+    committed report."""
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "benchmarks", "gen_r5")
+    with open(os.path.join(root, "generalization_sv.json")) as f:
+        sv = json.load(f)
+    assert sv["pck_ok"], sv
+    assert sv["heldout_pck@10px"] >= 0.9, sv
+    assert sv["split_ratios"] == "0.85,0.05,0.10"
+
+    with open(os.path.join(root, "generalization_mv.json")) as f:
+        mv = json.load(f)
+    assert mv["pck_ok"], mv
+    assert mv["heldout_pck@10px"] >= 0.9, mv
+    assert "heldout_mpjpe" in mv and mv["heldout_mpjpe"], mv
