@@ -117,7 +117,13 @@ def build_optimizer(
             label_fn,
         ),
     )
-    return tx
+    # skip (don't apply) any update with non-finite grads: one degenerate
+    # batch otherwise poisons the params forever (clip_by_global_norm passes
+    # NaN through). The jit-compatible analogue of the reference's
+    # nan_to_num/finite guards (smil_image_regressor.py:2597-2632); observed
+    # in the wild on a 25600-sample synthetic run (round 5) where a single
+    # batch NaN'd epoch 26 and every epoch after.
+    return optax.apply_if_finite(tx, max_consecutive_errors=16)
 
 
 # ---------------------------------------------------------------------------
